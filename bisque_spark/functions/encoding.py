@@ -1,0 +1,149 @@
+"""Batch byte→text decoding with the reference's detection precedence.
+
+Re-expresses bisque's ``UnicodeDammit``/``EncodingDetector`` semantics
+(/root/reference/src/bisque/dammit/detection.py:115-418) as a pure
+function usable inside an Arrow-batched pandas UDF: one call per
+document, no objects kept, returns ``(text, encoding, had_replacement)``.
+
+Precedence (detection.py:115-153): known-definite → BOM sniff → user
+encodings → encoding declared in the document (XML decl within the
+first 1024 bytes, else <meta charset> within the first
+max(2048, 5%·len) bytes; detection.py:185-227) → charset detection
+(cchardet/chardet/charset_normalizer, whichever imports — the
+reference's optional-dependency ladder, dammit/dependency_resolution.py)
+→ utf-8 → windows-1252. On total failure every encoding is retried with
+errors="replace" and the replacement flag is set (detection.py:314-333).
+
+Smart-quote handling: the reference's default (smart_quotes_to=None)
+leaves cp1252 0x80-0x9F bytes to decode as their Windows-1252 characters
+— we preserve exactly that behavior by plain codec decoding.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+# Same declared-encoding patterns as the reference
+# (src/bisque/dammit/encodings.py:10-21) — these are the standard
+# soupsieve/bs4-lineage expressions for encoding declarations.
+_XML_ENC_RE = re.compile(rb"^\s*<\?.*encoding=['\"](.*?)['\"].*\?>", re.I)
+_HTML_META_RE = re.compile(rb"<\s*meta[^>]+charset\s*=\s*[\"']?([^>]*?)[ /;'\">]", re.I)
+
+try:  # same optional ladder as the reference
+    import cchardet as _chardet_module  # type: ignore
+except ImportError:
+    try:
+        import chardet as _chardet_module  # type: ignore
+    except ImportError:
+        try:
+            import charset_normalizer as _chardet_module  # type: ignore
+        except ImportError:
+            _chardet_module = None
+
+
+def chardet_encoding(data: bytes) -> str | None:
+    if _chardet_module is None:
+        return None
+    return _chardet_module.detect(data)["encoding"]
+
+
+def strip_bom(data: bytes) -> tuple[bytes, str | None]:
+    """BOM → (stripped bytes, implied encoding). detection.py:155-183."""
+    if len(data) >= 4 and data[:2] == b"\xfe\xff" and data[2:4] != b"\x00\x00":
+        return data[2:], "utf-16be"
+    if len(data) >= 4 and data[:2] == b"\xff\xfe" and data[2:4] != b"\x00\x00":
+        return data[2:], "utf-16le"
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:], "utf-8"
+    if data[:4] == b"\x00\x00\xfe\xff":
+        return data[4:], "utf-32be"
+    if data[:4] == b"\xff\xfe\x00\x00":
+        return data[4:], "utf-32le"
+    return data, None
+
+
+def find_declared_encoding(data: bytes, is_html: bool = True) -> str | None:
+    """Encoding declared inside the document. detection.py:185-227."""
+    xml_endpos = 1024
+    html_endpos = max(2048, int(len(data) * 0.05))
+    m = _XML_ENC_RE.search(data, endpos=xml_endpos)
+    if not m and is_html:
+        m = _HTML_META_RE.search(data, endpos=html_endpos)
+    if m is None:
+        return None
+    return m.group(1).decode("ascii", "replace").lower()
+
+
+def _usable(encoding: str | None, tried: set) -> bool:
+    if not encoding:
+        return False
+    encoding = encoding.lower()
+    if encoding in tried:
+        return False
+    tried.add(encoding)
+    try:
+        codecs.lookup(encoding)
+    except LookupError:
+        return False
+    return True
+
+
+def candidate_encodings(
+    data: bytes,
+    known_definite: tuple[str, ...] = (),
+    user: tuple[str, ...] = (),
+    is_html: bool = True,
+) -> tuple[bytes, list[str]]:
+    """(BOM-stripped bytes, ordered candidate encodings)."""
+    stripped, sniffed = strip_bom(data)
+    tried: set[str] = set()
+    order: list[str] = []
+    for e in known_definite:
+        if _usable(e, tried):
+            order.append(e.lower())
+    if _usable(sniffed, tried):
+        order.append(sniffed)
+    for e in user:
+        if _usable(e, tried):
+            order.append(e.lower())
+    declared = find_declared_encoding(stripped, is_html)
+    if _usable(declared, tried):
+        order.append(declared)
+    sniffed_by_lib = chardet_encoding(stripped)
+    if _usable(sniffed_by_lib, tried):
+        order.append(sniffed_by_lib.lower())
+    for e in ("utf-8", "windows-1252"):
+        if _usable(e, tried):
+            order.append(e)
+    return stripped, order
+
+
+def decode_html(
+    data: bytes,
+    known_definite: tuple[str, ...] = (),
+    user: tuple[str, ...] = (),
+    is_html: bool = True,
+) -> tuple[str | None, str | None, bool]:
+    """bytes → (text, chosen encoding, had_replacement_characters)."""
+    if isinstance(data, str):
+        return data, None, False
+    if data == b"":
+        # reference quirk: the errors="replace" retry loop overwrites the
+        # successful '' decode with None (detection.py:314-327) — an empty
+        # document has no usable markup either way
+        return None, None, False
+    stripped, order = candidate_encodings(data, known_definite, user, is_html)
+    for enc in order:
+        try:
+            return stripped.decode(enc), enc, False
+        except (UnicodeDecodeError, ValueError):
+            continue
+    for enc in order:
+        if enc == "ascii":
+            continue
+        try:
+            return stripped.decode(enc, "replace"), enc, True
+        except (ValueError, LookupError):
+            continue
+    return None, None, False

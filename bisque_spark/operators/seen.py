@@ -1,0 +1,155 @@
+"""URL-seen set: partitioned Bloom shards + exact-confirm anti-join.
+
+North-star operator (BASELINE.json): "deduplicated via a partitioned
+Bloom/cuckoo URL-seen filter (one shard per hash-bucketed partition,
+merged as binary state tables)".
+
+Why shards-as-data: Spark's ``DataFrame.stat.bloomFilter`` builds ONE
+driver-side filter — at 10^10 URLs that is a driver OOM and a broadcast
+bottleneck. Here the filter is a table ``url_seen(bucket int, bloom
+binary)``: bucket = pmod(url_hash, P), each shard sized for its bucket's
+share, built and merged executor-side via ``applyInPandas`` (numpy
+bitwise ops per batch, no per-row Python).
+
+Correctness contract (SURVEY.md §7.3 hard-part 3): Bloom positives are
+*maybes* — dropping them would lose URLs the oracle visits. So the
+filter is a pre-filter only: definite-negatives skip the expensive
+exact check; maybes are confirmed by a left-anti join against
+``seen_exact(url_hash)``. Bloom false-negative-freedom is
+property-tested with hypothesis.
+
+Scale shape: candidates ⋈ shards is a join on ``bucket`` (P rows on the
+right — broadcastable at any frontier size since P is fixed);
+candidates ⋈ seen_exact is a shuffle join on url_hash, both sides
+pre-partitioned by pmod(url_hash, P) so the shuffle is a no-op when the
+tables are bucketed to the same layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_BUCKETS = 32
+DEFAULT_BITS_PER_SHARD = 1 << 17  # 16 KiB / shard at sandbox scale
+DEFAULT_NUM_HASHES = 5
+
+_SHARD_SCHEMA = "bucket int, bloom binary"
+
+
+def _positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Double-hashing index set per element: (h1 + i·h2) mod m. Shape (n, k)."""
+    h = hashes.astype(np.uint64)
+    h1 = h % np.uint64(m_bits)
+    h2 = (h >> np.uint64(17) | np.uint64(1)) % np.uint64(m_bits)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _set_bits(bloom: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bloom, (pos >> np.uint64(3)).ravel().astype(np.int64),
+                     np.left_shift(np.uint8(1), (pos & np.uint64(7)).ravel().astype(np.uint8)))
+
+
+def _test_bits(bloom: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    return ((bloom[byte_idx] & bit) != 0).all(axis=1)
+
+
+def build_shards(
+    hashes_df: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """DataFrame with ``url_hash`` → url_seen shard table (one row/bucket)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        _set_bits(bloom, _positions(h, m_bits, k))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [bloom.tobytes()]}
+        )
+
+    return (
+        hashes_df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(build, schema=_SHARD_SCHEMA)
+    )
+
+
+def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two shard tables (same geometry) bucket-wise."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for blob in pdf["bloom"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [acc.tobytes()]}
+        )
+
+    return a.unionByName(b).groupBy("bucket").applyInPandas(merge, schema=_SHARD_SCHEMA)
+
+
+def mark_maybe_seen(
+    candidates: DataFrame,
+    shards: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """+ boolean ``maybe_seen`` column (false ⇒ definitely new)."""
+
+    @F.pandas_udf("boolean")
+    def member(url_hash: pd.Series, bloom: pd.Series) -> pd.Series:
+        out = np.zeros(len(url_hash), dtype=bool)
+        if len(url_hash) == 0:
+            return pd.Series(out)
+        h = url_hash.to_numpy(dtype=np.int64).view(np.uint64)
+        blobs = bloom.to_numpy(dtype=object)
+        # group rows by shard blob identity to vectorize the test
+        for blob in pd.unique(blobs):
+            if blob is None:
+                continue
+            mask = np.array([b is not None and b == blob for b in blobs])
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            out[mask] = _test_bits(arr, _positions(h[mask], m_bits, k))
+        return pd.Series(out)
+
+    with_bucket = candidates.withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    joined = with_bucket.join(F.broadcast(shards), on="bucket", how="left")
+    return joined.withColumn(
+        "maybe_seen",
+        F.when(F.col("bloom").isNull(), F.lit(False)).otherwise(
+            member(F.col("url_hash"), F.col("bloom"))
+        ),
+    ).drop("bloom", "bucket")
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    shards: DataFrame | None,
+    seen_exact: DataFrame | None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact-correct dedup: bloom pre-filter + anti-join confirmation.
+
+    ``shards``/``seen_exact`` may be None on the first epoch.
+    """
+    if shards is None or seen_exact is None:
+        return candidates
+    marked = mark_maybe_seen(candidates, shards, n_buckets=n_buckets)
+    definite_new = marked.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybes = marked.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybes.join(
+        seen_exact.select("url_hash"), on="url_hash", how="left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

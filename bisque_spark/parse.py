@@ -1,0 +1,414 @@
+"""HTML → flat node-table parser with bisque-equivalent tree semantics.
+
+This is the engine's re-expression of the reference's parse stage
+(lmmx/bisque). Where bisque builds a pointer-linked Pydantic tree — one
+object per node, four link axes (/root/reference/src/bisque/element/
+tag_core/page_element.py:32-80) — this module produces a *flat list of
+node records* suitable for an Arrow batch: each node carries
+``(pos, parent_pos, depth, sibling_idx, subtree_end, kind, name, attrs,
+text, sourceline, sourcepos)``. Document-order position ``pos`` replaces
+the ``next_element`` chain; ``subtree_end`` replaces
+``_last_descendant`` (the reference's O(1) shortcut at
+page_element.py:279-294); ``parent_pos``/``sibling_idx`` replace the
+parent/sibling axes. Every bisque traversal axis becomes a range or
+window predicate over these columns (SURVEY.md §2.2).
+
+Semantics replicated from the reference (file:line cites → /root/reference):
+- whitespace-only text collapse to "\\n" or " " outside pre/textarea
+  (src/bisque/main.py:592-628, ASCII_SPACES main.py:104)
+- tag-stack pop-to-matching-name with open-tag counter guard
+  (src/bisque/main.py:697-729)
+- empty-element tags closed immediately; redundant explicit closers
+  ignored (src/bisque/builder/_htmlparser/parser.py:63-152)
+- numeric charrefs < 256 decoded via document encoding then
+  windows-1252 (src/bisque/builder/_htmlparser/parser.py:159-197)
+- named entities via the HTML5 table, unknown names kept literal
+  (src/bisque/builder/_htmlparser/parser.py:199-216)
+- string containers {rt, rp, style, script, template} typing their text
+  (src/bisque/builder/core/html_builder.py:113-119, main.py:525-538)
+- comments/doctype/CDATA/PI node kinds
+  (src/bisque/builder/_htmlparser/parser.py:218-258)
+- get_text() = exact-type-filtered descendant string concat
+  (src/bisque/element/tag_core/tag.py:296-341, page_element.py:157-180)
+
+The implementation is new code on the stdlib ``html.parser`` (the
+reference test suite's default builder, tests/__init__.py:24), written
+for batch use: no Pydantic objects, no pointers, one dict per node.
+"""
+
+from __future__ import annotations
+
+import re
+from html.entities import html5 as _HTML5_ENTITIES
+from html.parser import HTMLParser
+
+ASCII_SPACES = "\x20\x0a\x09\x0c\x0d"
+
+# HTML-spec fact tables (public knowledge; also listed at
+# /root/reference/src/bisque/builder/core/html_builder.py:28-141).
+EMPTY_ELEMENT_TAGS = frozenset(
+    """area base br col embed hr img input keygen link menuitem meta param
+    source track wbr basefont bgsound command frame image isindex nextid
+    spacer""".split()
+)
+PRESERVE_WHITESPACE_TAGS = frozenset({"pre", "textarea"})
+# tag name -> node kind for strings directly inside it
+STRING_CONTAINERS = {
+    "rt": "rubytext",
+    "rp": "rubyparen",
+    "style": "stylesheet",
+    "script": "script",
+    "template": "template",
+}
+# attributes whose value is a whitespace-separated list
+CDATA_LIST_ATTRIBUTES: dict[str, frozenset[str]] = {
+    "*": frozenset({"class", "accesskey", "dropzone"}),
+    "a": frozenset({"rel", "rev"}),
+    "link": frozenset({"rel", "rev"}),
+    "td": frozenset({"headers"}),
+    "th": frozenset({"headers"}),
+    "form": frozenset({"accept-charset"}),
+    "object": frozenset({"archive"}),
+    "area": frozenset({"rel"}),
+    "icon": frozenset({"sizes"}),
+    "iframe": frozenset({"sandbox"}),
+    "output": frozenset({"for"}),
+}
+
+# Node kinds counted as "interesting strings" for get_text on a normal
+# tag: NavigableString + CData (tag.py:120-124). A string-container tag
+# instead wants exactly its container kind (tag.py:161).
+DEFAULT_INTERESTING_KINDS = frozenset({"text", "cdata"})
+
+# HTML5 named-entity map with trailing ';' stripped, first-wins over
+# sorted names — the lookup the reference's parser performs
+# (substitution.py:30-54 + parser.py:199-216).
+_ENTITY_NAME_TO_CHAR: dict[str, str] = {}
+for _name in sorted(_HTML5_ENTITIES):
+    _key = _name[:-1] if _name.endswith(";") else _name
+    _ENTITY_NAME_TO_CHAR.setdefault(_key, _HTML5_ENTITIES[_name])
+
+_NONWHITESPACE_RE = re.compile(r"\S+")
+
+# String node kinds, in the discriminator enumeration used across the
+# engine's exploded-node tables.
+STRING_KINDS = frozenset(
+    {
+        "text",
+        "cdata",
+        "comment",
+        "pi",
+        "decl",
+        "doctype",
+        "stylesheet",
+        "script",
+        "template",
+        "rubytext",
+        "rubyparen",
+    }
+)
+
+
+def split_cdata_list(value: str) -> list[str]:
+    """``class="a  b "`` → ``["a", "b"]`` — findall(\\S+) semantics
+    (reference: builder/core/main.py:224-259)."""
+    return _NONWHITESPACE_RE.findall(value)
+
+
+def is_cdata_list_attr(tag_name: str, attr_name: str) -> bool:
+    if attr_name in CDATA_LIST_ATTRIBUTES["*"]:
+        return True
+    per_tag = CDATA_LIST_ATTRIBUTES.get(tag_name)
+    return per_tag is not None and attr_name in per_tag
+
+
+class _NodeCollector(HTMLParser):
+    """stdlib HTMLParser → flat node records, bisque tag-stack semantics."""
+
+    def __init__(self, original_encoding: str | None = None):
+        # convert_charrefs=False: entities are decoded by our handlers
+        # with the reference's <256-codepoint compensation.
+        super().__init__(convert_charrefs=False)
+        self.original_encoding = original_encoding
+        self.nodes: list[dict] = []
+        # stack entries: [node_pos, name, child_count] ; root sentinel pos=-1
+        self.stack: list[list] = [[-1, "[document]", 0]]
+        self.open_counter: dict[str, int] = {}
+        self.preserve_ws_depth = 0
+        self.container_stack: list[str] = []  # active string-container kinds
+        self.current_data: list[str] = []
+        self.already_closed_empty: list[str] = []
+        self._root_child_count = 0
+
+    # -- data buffering ------------------------------------------------
+    def handle_data(self, data):
+        self.current_data.append(data)
+
+    def _end_data(self, kind: str | None = None):
+        if not self.current_data:
+            return
+        data = "".join(self.current_data)
+        self.current_data = []
+        if self.preserve_ws_depth == 0:
+            if all(c in ASCII_SPACES for c in data):
+                data = "\n" if "\n" in data else " "
+        if kind is None:
+            kind = "text"
+            if self.container_stack:
+                kind = self.container_stack[-1]
+        self._emit_string(kind, data)
+
+    def _emit_string(self, kind: str, value: str):
+        parent = self.stack[-1]
+        pos = len(self.nodes)
+        line, col = self.getpos()
+        self.nodes.append(
+            {
+                "pos": pos,
+                "parent_pos": parent[0],
+                "depth": len(self.stack) - 1,
+                "sibling_idx": parent[2],
+                "subtree_end": pos,
+                "kind": kind,
+                "name": None,
+                "attrs": None,
+                "text": value,
+                "sourceline": line,
+                "sourcepos": col,
+            }
+        )
+        parent[2] += 1
+
+    # -- tags ------------------------------------------------------------
+    def handle_starttag(self, name, attrs, handle_empty_element=True):
+        self._end_data()
+        attr_dict: dict[str, str] = {}
+        for key, value in attrs:
+            if value is None:
+                value = ""
+            # duplicate attribute: REPLACE (the reference's default,
+            # parser.py:94-106)
+            attr_dict[key] = value
+        parent = self.stack[-1]
+        pos = len(self.nodes)
+        line, col = self.getpos()
+        self.nodes.append(
+            {
+                "pos": pos,
+                "parent_pos": parent[0],
+                "depth": len(self.stack) - 1,
+                "sibling_idx": parent[2],
+                "subtree_end": pos,  # fixed up at pop
+                "kind": "tag",
+                "name": name,
+                "attrs": attr_dict,
+                "text": None,
+                "sourceline": line,
+                "sourcepos": col,
+            }
+        )
+        parent[2] += 1
+        self.stack.append([pos, name, 0])
+        self.open_counter[name] = self.open_counter.get(name, 0) + 1
+        if name in PRESERVE_WHITESPACE_TAGS:
+            self.preserve_ws_depth += 1
+        if name in STRING_CONTAINERS:
+            self.container_stack.append(STRING_CONTAINERS[name])
+        if name in EMPTY_ELEMENT_TAGS and handle_empty_element:
+            self.handle_endtag(name, check_already_closed=False)
+            self.already_closed_empty.append(name)
+
+    def handle_startendtag(self, name, attrs):
+        # <tag/> — explicit self-close; suppress the empty-element
+        # auto-close so we close exactly once (parser.py:63-76).
+        self.handle_starttag(name, attrs, handle_empty_element=False)
+        self.handle_endtag(name)
+
+    def _pop_tag(self):
+        pos, name, _ = self.stack.pop()
+        if name in self.open_counter:
+            self.open_counter[name] -= 1
+        node = self.nodes[pos]
+        node["subtree_end"] = len(self.nodes) - 1
+        if name in PRESERVE_WHITESPACE_TAGS and self.preserve_ws_depth > 0:
+            self.preserve_ws_depth -= 1
+        if name in STRING_CONTAINERS and self.container_stack:
+            # pop only if this tag owns the top container entry
+            if self.container_stack[-1] == STRING_CONTAINERS[name]:
+                self.container_stack.pop()
+
+    def handle_endtag(self, name, check_already_closed=True):
+        if check_already_closed and name in self.already_closed_empty:
+            self.already_closed_empty.remove(name)
+            return
+        self._end_data()
+        # pop-to-tag with open-counter guard (main.py:697-729)
+        if not self.open_counter.get(name):
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if not self.open_counter.get(name):
+                break
+            top_name = self.stack[-1][1]
+            self._pop_tag()
+            if top_name == name:
+                break
+
+    # -- charrefs ---------------------------------------------------------
+    def handle_charref(self, ref):
+        if ref.startswith(("x", "X")):
+            real = int(ref[1:], 16)
+        else:
+            real = int(ref)
+        data = None
+        if real < 256:
+            for encoding in (self.original_encoding, "windows-1252"):
+                if not encoding:
+                    continue
+                try:
+                    data = bytearray([real]).decode(encoding)
+                    break
+                except (UnicodeDecodeError, LookupError):
+                    pass
+        if not data:
+            try:
+                data = chr(real)
+            except (ValueError, OverflowError):
+                data = None
+        self.handle_data(data or "\N{REPLACEMENT CHARACTER}")
+
+    def handle_entityref(self, ref):
+        char = _ENTITY_NAME_TO_CHAR.get(ref)
+        self.handle_data(char if char is not None else f"&{ref}")
+
+    # -- comments / decls / PIs -------------------------------------------
+    def handle_comment(self, data):
+        self._end_data()
+        self.handle_data(data)
+        self._end_data("comment")
+
+    def handle_decl(self, data):
+        self._end_data()
+        self.handle_data(data[len("DOCTYPE ") :])
+        self._end_data("doctype")
+
+    def unknown_decl(self, data):
+        if data.upper().startswith("CDATA["):
+            kind = "cdata"
+            data = data[len("CDATA[") :]
+        else:
+            kind = "decl"
+        self._end_data()
+        self.handle_data(data)
+        self._end_data(kind)
+
+    def handle_pi(self, data):
+        self._end_data()
+        self.handle_data(data)
+        self._end_data("pi")
+
+    # -- driver ------------------------------------------------------------
+    def finish(self):
+        self._end_data()
+        while len(self.stack) > 1:
+            self._pop_tag()
+
+
+def parse_nodes(markup: str, original_encoding: str | None = None) -> list[dict]:
+    """Parse HTML text into a flat, document-ordered node list."""
+    collector = _NodeCollector(original_encoding=original_encoding)
+    try:
+        collector.feed(markup)
+        collector.close()
+    except (AssertionError, Exception) as exc:  # noqa: BLE001
+        # mirror the reference's retry-free stdlib path: a rejected
+        # document yields whatever was parsed so far (row-level error
+        # handling happens in the fetch/extract operators, never a
+        # task failure — SURVEY.md §4.2)
+        if not isinstance(exc, Exception):
+            raise
+    collector.finish()
+    return collector.nodes
+
+
+def interesting_kinds_for(tag_name: str | None) -> frozenset[str]:
+    """Which string kinds get_text() collects under a given tag."""
+    if tag_name in STRING_CONTAINERS:
+        return frozenset({STRING_CONTAINERS[tag_name]})
+    return DEFAULT_INTERESTING_KINDS
+
+
+def get_text(
+    nodes: list[dict],
+    root_pos: int | None = None,
+    separator: str = "",
+    strip: bool = False,
+) -> str:
+    """bisque ``Tag.get_text()`` over the flat node list.
+
+    ``root_pos=None`` means the document root (all nodes).
+    """
+    if root_pos is None:
+        lo, hi = -1, len(nodes) - 1
+        kinds = DEFAULT_INTERESTING_KINDS
+    else:
+        root = nodes[root_pos]
+        lo, hi = root["pos"], root["subtree_end"]
+        kinds = interesting_kinds_for(root["name"])
+    parts: list[str] = []
+    for node in nodes[lo + 1 : hi + 1]:
+        if node["kind"] not in kinds:
+            continue
+        value = node["text"]
+        if strip:
+            value = value.strip()
+            if not value:
+                continue
+        parts.append(value)
+    return separator.join(parts)
+
+
+def find_all(
+    nodes: list[dict],
+    name: str | None = None,
+    attrs: dict | None = None,
+    root_pos: int | None = None,
+    limit: int | None = None,
+) -> list[dict]:
+    """Minimal strainer: scan descendants for tags matching name/attrs.
+
+    Attr values match exactly, with multi-valued attributes matching if
+    any element (or the whole space-joined string) equals the wanted
+    value (soup_strainer.py:214-288).
+    """
+    if root_pos is None:
+        lo, hi = -1, len(nodes) - 1
+    else:
+        root = nodes[root_pos]
+        lo, hi = root["pos"], root["subtree_end"]
+    out = []
+    for node in nodes[lo + 1 : hi + 1]:
+        if node["kind"] != "tag":
+            continue
+        if name is not None and node["name"] != name:
+            continue
+        if attrs:
+            ok = True
+            for k, want in attrs.items():
+                have = (node["attrs"] or {}).get(k)
+                if have is None:
+                    ok = False
+                    break
+                if is_cdata_list_attr(node["name"], k):
+                    vals = split_cdata_list(have)
+                    if want not in vals and " ".join(vals) != want:
+                        ok = False
+                        break
+                elif have != want:
+                    ok = False
+                    break
+            if not ok:
+                continue
+        out.append(node)
+        if limit is not None and len(out) >= limit:
+            break
+    return out

@@ -1,0 +1,391 @@
+"""Deterministic synthetic web — fixture world for crawl correctness + bench.
+
+No network exists in the sandbox (and the bench must be reproducible),
+so "fetch" means: generate the page for a URL as a pure function of
+``xxh64(canonical_url)``. The same functions drive the Spark fetch
+operator (inside ``mapInPandas``) and the single-process oracle crawler,
+making every byte of the crawl deterministic and comparable.
+
+World properties (FIXTURES.md §3, SURVEY.md §7.1 step 2):
+- Zipf-skewed host popularity: out-links target head hosts heavily,
+  exercising salting/AQE skew handling.
+- Page HTML exercises the reference's parse semantics: entities
+  (named/decimal/hex/cp1252-numeric), whitespace collapse, <pre>,
+  multi-valued class attrs, figure/figcaption vs alt vs p.caption
+  captions, comments, doctype, script/style string containers.
+- Encodings mixture: utf-8 (+meta), utf-8 BOM, declared windows-1252,
+  undeclared windows-1252 with smart-quote bytes (invalid utf-8 → the
+  dammit fallback chain is exercised deterministically).
+- Image bytes: deterministic RGB grids; fmt 'raw' (uncompressed) or
+  'png' (zlib, pure-stdlib encoder) — losslessly decodable for the
+  PSNR gate. phash = xxhash64 of the raw pixel buffer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+from bisque_spark.hashing import MASK64, xxh64, xxhash64_bytes, xxhash64_str
+
+
+@dataclass(frozen=True)
+class World:
+    """Scale-free knobs for the synthetic web (seed 42 everywhere)."""
+
+    n_hosts: int = 20
+    pages_per_host: int = 40
+    n_seeds: int = 30
+    links_per_page: int = 6
+    images_per_page_max: int = 3
+    host_budget_base: int = 8  # politeness: per-epoch fetch budget at delay 1.0
+    zipf_power: float = 3.0  # higher → heavier head
+
+    def host(self, i: int) -> str:
+        return f"h{i:04d}.example{i % 7}.test"
+
+    def host_count_pages(self, host: str) -> int:
+        # head hosts are bigger
+        idx = int(host[1:5])
+        return max(4, int(self.pages_per_host * (1.0 / (1 + idx) ** 0.3)))
+
+
+class DetRng:
+    """xorshift64* PRNG seeded from a string — identical in oracle/Spark."""
+
+    def __init__(self, key: str):
+        self.state = xxh64(key.encode("utf-8")) or 0x9E3779B97F4A7C15
+
+    def next_u64(self) -> int:
+        x = self.state
+        x ^= (x >> 12) & MASK64
+        x = (x ^ (x << 25)) & MASK64
+        x ^= (x >> 27) & MASK64
+        self.state = x
+        return (x * 0x2545F4914F6CDD1D) & MASK64
+
+    def u01(self) -> float:
+        return self.next_u64() / 2.0**64
+
+    def randint(self, a: int, b: int) -> int:
+        """Uniform in [a, b]."""
+        return a + self.next_u64() % (b - a + 1)
+
+    def choice(self, seq):
+        return seq[self.next_u64() % len(seq)]
+
+
+_WORDS = (
+    "data spark frontier crawl image caption engine batch shuffle "
+    "partition vector arrow parquet iceberg bloom politeness robots "
+    "queue epoch lineage resume skew salt broadcast window catalyst"
+).split()
+_FANCY = ["café", "jalapeño", "naïve", "—dash—"]
+# ways to spell é in markup → all decode to \xe9 (parser.py:159-216)
+_E_ACUTE_FORMS = ["&eacute;", "&#233;", "&#xE9;", "é"]
+
+
+def _words(rng: DetRng, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+# ---- images -----------------------------------------------------------------
+
+
+def image_pixels(image_id: str, w: int, h: int) -> bytes:
+    """Deterministic RGB byte grid."""
+    rng = DetRng("px:" + image_id)
+    return bytes((rng.next_u64() >> ((3 * i) % 56)) & 0xFF for i in range(w * h * 3))
+
+
+def encode_png(pixels: bytes, w: int, h: int) -> bytes:
+    """Minimal deterministic RGB8 PNG (zlib level fixed)."""
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + pixels[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[bytes, int, int]:
+    """Decode the minimal PNG produced above → (pixels, w, h)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", payload[:8])
+        elif typ == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    pixels = b"".join(raw[y * stride + 1 : (y + 1) * stride] for y in range(h))
+    return pixels, w, h
+
+
+def synth_image(image_id: str) -> dict:
+    """image_id → {bytes, w, h, fmt, phash} (FIXTURES.md §1)."""
+    rng = DetRng("img:" + image_id)
+    w = rng.randint(8, 64)
+    h = rng.randint(8, 64)
+    pixels = image_pixels(image_id, w, h)
+    fmt = "raw" if rng.u01() < 0.5 else "png"
+    data = pixels if fmt == "raw" else encode_png(pixels, w, h)
+    return {
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "phash": xxhash64_bytes(pixels),
+    }
+
+
+def decode_image(row_bytes: bytes, fmt: str) -> bytes:
+    """→ raw RGB pixel buffer (for the PSNR/phash gate)."""
+    if fmt == "raw":
+        return row_bytes
+    if fmt == "png":
+        return decode_png(row_bytes)[0]
+    raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
+
+
+# ---- page model --------------------------------------------------------------
+
+
+def page_index(url: str) -> tuple[str, int] | None:
+    """canonical URL → (host, page number) if it addresses a page."""
+    if not url.startswith("http://"):
+        return None
+    rest = url[7:]
+    slash = rest.find("/")
+    if slash < 0:
+        return None
+    host, path = rest[:slash], rest[slash:]
+    if path == "/":
+        return host, 0
+    if path.startswith("/p") and path.endswith(".html"):
+        try:
+            return host, int(path[2:-5])
+        except ValueError:
+            return None
+    if path.startswith("/admin/a") and path.endswith(".html"):
+        try:
+            return host, 10_000 + int(path[8:-5])
+        except ValueError:
+            return None
+    return None
+
+
+def page_url(world: World, host_idx: int, page_no: int) -> str:
+    host = world.host(host_idx)
+    if page_no == 0:
+        return f"http://{host}/"
+    if page_no >= 10_000:
+        return f"http://{host}/admin/a{page_no - 10_000}.html"
+    return f"http://{host}/p{page_no}.html"
+
+
+def _zipf_host(world: World, u: float) -> int:
+    """u∈[0,1) → host index, head-heavy."""
+    return min(world.n_hosts - 1, int(world.n_hosts * (u**world.zipf_power)))
+
+
+def page_status(world: World, url: str) -> int:
+    idx = page_index(url)
+    if idx is None:
+        return 404
+    host, page_no = idx
+    hidx_ok = host in {world.host(i) for i in range(world.n_hosts)}
+    if not hidx_ok:
+        return 404
+    real_no = page_no if page_no < 10_000 else page_no - 10_000
+    if real_no >= world.host_count_pages(host):
+        return 404
+    r = xxh64(("status:" + url).encode()) % 100
+    if r < 88:
+        return 200
+    if r < 93:
+        return 404
+    if r < 97:
+        return 429
+    return 503
+
+
+def page_html(world: World, url: str) -> str:
+    """Deterministic page body (text, pre-encoding) for a 200 URL."""
+    idx = page_index(url)
+    assert idx is not None
+    host, page_no = idx
+    host_idx = int(host[1:5])
+    rng = DetRng("page:" + url)
+    parts = [
+        "<!DOCTYPE html>\n<html><head>",
+        f"<title>{_words(rng, 3)}</title>",
+    ]
+    parts.append("</head><body>")
+    parts.append(f"<!-- generated {_words(rng, 2)} -->")
+    parts.append(f"<h1 class=\"title  main \">{_words(rng, 4)}</h1>")
+
+    # paragraphs with entity + unicode traps
+    for _ in range(rng.randint(1, 4)):
+        frag = [
+            _words(rng, rng.randint(3, 10)),
+            rng.choice(_E_ACUTE_FORMS),
+            rng.choice(_FANCY),
+            "&amp;",
+            _words(rng, 2),
+        ]
+        parts.append(f"<p>{' '.join(frag)}</p>")
+    if rng.u01() < 0.3:
+        parts.append(f"<pre>  {_words(rng, 3)}\n   keep {_words(rng, 2)}  </pre>")
+    if rng.u01() < 0.3:
+        parts.append(f"<script>var v={rng.randint(0, 9)};</script>")
+    if rng.u01() < 0.2:
+        parts.append("<style>p { margin: 0; }</style>")
+
+    # images with caption variants
+    n_images = rng.randint(0, world.images_per_page_max)
+    for k in range(n_images):
+        img_src = f"/img/i{rng.randint(0, 500)}.png"
+        alt = f"{_words(rng, 2)} {rng.choice(_E_ACUTE_FORMS)}"
+        variant = rng.randint(0, 2)
+        if variant == 0:
+            cap = (
+                f"{_words(rng, 2)}  <b>{_words(rng, 1)}</b> "
+                f"{rng.choice(_E_ACUTE_FORMS)} {_words(rng, 1)}"
+            )
+            parts.append(
+                f'<figure><img src="{img_src}" alt="{alt}"/>'
+                f"<figcaption>{cap}</figcaption></figure>"
+            )
+        elif variant == 1:
+            parts.append(f'<img src="{img_src}" alt="{alt}">')
+        else:
+            parts.append(
+                f'<img src="{img_src}">'
+                f'<p class="caption  wide">{_words(rng, 4)}</p>'
+            )
+
+    # out-links: zipf-skewed cross-host + same-host neighbors, messy forms
+    parts.append("<ul>")
+    for _ in range(rng.randint(2, world.links_per_page)):
+        if rng.u01() < 0.45:
+            # same-host relative link
+            target_no = rng.randint(0, world.host_count_pages(host) + 2)
+            form = rng.randint(0, 3)
+            if form == 0:
+                href = f"/p{target_no}.html"
+            elif form == 1:
+                href = f"p{target_no}.html" if page_no else f"./p{target_no}.html"
+            elif form == 2:
+                href = f"/a/../p{target_no}.html"
+            else:
+                href = f"/p{target_no}.html#frag{rng.randint(0, 9)}"
+        else:
+            t_host_idx = _zipf_host(world, rng.u01())
+            t_host = world.host(t_host_idx)
+            t_no = rng.randint(0, world.host_count_pages(t_host) + 2)
+            form = rng.randint(0, 3)
+            if form == 0:
+                href = f"http://{t_host}/p{t_no}.html"
+            elif form == 1:
+                href = f"HTTP://{t_host.upper()}/p{t_no}.html"
+            elif form == 2:
+                href = f"http://{t_host}:80/p{t_no}.html"
+            else:
+                href = f"http://{t_host}/p{t_no}.html?x=%7e1"
+        parts.append(f'<li><a href="{href}" rel="next  link">{_words(rng, 2)}</a></li>')
+    if rng.u01() < 0.15:
+        parts.append('<li><a href="/admin/a1.html">admin</a></li>')
+    if rng.u01() < 0.1:
+        parts.append('<li><a href="ftp://files.example.test/x">skip me</a></li>')
+    parts.append("</ul>")
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def page_bytes(world: World, url: str) -> tuple[int, bytes | None]:
+    """Fetch simulation: canonical URL → (status, content bytes)."""
+    status = page_status(world, url)
+    if status != 200:
+        return status, None
+    html = page_html(world, url)
+    enc = xxh64(("enc:" + url).encode()) % 4
+    if enc == 0:
+        head = '<meta charset="utf-8">'
+        return status, html.replace("<head>", "<head>" + head, 1).encode("utf-8")
+    if enc == 1:
+        return status, b"\xef\xbb\xbf" + html.encode("utf-8")
+    if enc == 2:
+        head = '<meta charset="windows-1252">'
+        body = html.replace("<head>", "<head>" + head, 1)
+        # smart quotes: cp1252-only bytes
+        body = body.replace("<body>", "<body><p>“quoted” — ok</p>", 1)
+        return status, body.encode("windows-1252", errors="xmlcharrefreplace")
+    # undeclared cp1252 with smart-quote bytes (invalid utf-8 → fallback)
+    body = html.replace("<body>", "<body><p>‘q’</p>", 1)
+    return status, body.encode("windows-1252", errors="xmlcharrefreplace")
+
+
+def seed_urls(world: World) -> list[tuple[str, int]]:
+    """(raw url, rank) seed list with adversarial canonicalization forms
+    and deliberate duplicates (FIXTURES.md §2)."""
+    seeds: list[tuple[str, int]] = []
+    rng = DetRng("seeds")
+    for i in range(world.n_seeds):
+        hidx = _zipf_host(world, rng.u01())
+        host = world.host(hidx)
+        no = rng.randint(0, 3)
+        base = f"http://{host}/p{no}.html" if no else f"http://{host}/"
+        form = rng.randint(0, 5)
+        if form == 0:
+            raw = base
+        elif form == 1:
+            raw = base.replace("http://", "HTTP://").replace(host, host.upper())
+        elif form == 2:
+            raw = base.replace(host, host + ":80")
+        elif form == 3:
+            raw = base + "#top"
+        elif form == 4:
+            raw = base.replace("/p", "/./p") if no else base + "."
+        else:
+            raw = base  # duplicate of form 0 under canonicalization
+        seeds.append((raw, i))
+    return seeds
+
+
+def robots_rows(world: World) -> list[dict]:
+    """Per-host politeness rules (FIXTURES.md §4)."""
+    rows = []
+    for i in range(world.n_hosts):
+        host = world.host(i)
+        h = xxh64(("robots:" + host).encode())
+        crawl_delay = 1.0 + (h % 4)
+        disallow = ["/admin"] if h % 3 == 0 else []
+        rows.append({"host": host, "crawl_delay": crawl_delay, "disallow": disallow})
+    return rows
+
+
+def host_budget(world: World, crawl_delay: float) -> int:
+    """Token-bucket budget per epoch, expressible as a window rank bound."""
+    return max(1, int(world.host_budget_base / crawl_delay))

@@ -1,0 +1,70 @@
+"""Differential decode tests vs the reference's UnicodeDammit."""
+
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bisque_spark.functions.encoding import decode_html, find_declared_encoding, strip_bom
+
+sys.path.insert(0, "/root/reference/src")
+from bisque.dammit import UnicodeDammit  # noqa: E402
+
+DOCS = [
+    "<html><body><p>plain ascii</p></body></html>",
+    "<html><head><meta charset='utf-8'></head><body>café ✓</body></html>",
+    "<html><head><meta charset=\"windows-1252\"></head><body>caf\xe9 “q”</body></html>",
+    "<?xml version='1.0' encoding='utf-8'?><root>é</root>",
+    "<p>“smart quotes” — naïve café</p>",
+]
+
+
+def _variants(doc: str):
+    yield doc.encode("utf-8")
+    yield b"\xef\xbb\xbf" + doc.encode("utf-8")
+    try:
+        yield doc.encode("windows-1252")
+    except UnicodeEncodeError:
+        pass
+    yield doc.encode("utf-16le")  # no BOM: falls through to replace path
+    yield b"\xff\xfe" + doc.encode("utf-16le")  # BOM utf-16le
+
+
+def test_differential_vs_unicode_dammit():
+    for doc in DOCS:
+        for data in _variants(doc):
+            ref = UnicodeDammit(data, is_html=True)
+            got_text, got_enc, got_repl = decode_html(data, is_html=True)
+            assert got_text == ref.unicode_markup, (doc, data[:20])
+            assert got_repl == ref.contains_replacement_characters
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_differential_random_bytes(data):
+    ref = UnicodeDammit(data, is_html=True)
+    got_text, _, got_repl = decode_html(data, is_html=True)
+    assert got_text == ref.unicode_markup
+
+
+def test_bom():
+    assert strip_bom(b"\xef\xbb\xbfabc") == (b"abc", "utf-8")
+    assert strip_bom(b"\xff\xfea\x00") == (b"a\x00", "utf-16le")
+    assert strip_bom(b"plain") == (b"plain", None)
+
+
+def test_declared_encoding():
+    assert (
+        find_declared_encoding(b"<meta charset='UTF-8'>", is_html=True) == "utf-8"
+    )
+    assert (
+        find_declared_encoding(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">',
+            is_html=True,
+        )
+        == "windows-1252"
+    )
+    assert find_declared_encoding(b"<?xml encoding='latin-1'?>", is_html=False) == "latin-1"
+    # html meta only searched in the head window
+    far = b" " * 5000 + b"<meta charset='utf-8'>"
+    assert find_declared_encoding(far, is_html=True) is None

@@ -1,0 +1,113 @@
+"""Differential tests: bisque_spark.parse vs the reference bisque.
+
+The reference (imported read-only from /root/reference/src) is the
+per-document oracle: node-for-node tree equality and byte-equal
+get_text output, including on the reference's own adversarial corpus
+(BAD_DOCUMENT, tests/__init__.py:52-86) and fuzz testcases.
+"""
+
+import glob
+
+import pytest
+
+from bisque_spark.parse import find_all, get_text, parse_nodes
+from ref_oracle import engine_nodes_comparable, ref_nodes, ref_soup
+
+CORPUS = [
+    "<html><body><p>Hello</p></body></html>",
+    '<figure><img src="a.png" alt="Alt  text"/>'
+    "<figcaption>A  caption &amp; more</figcaption></figure>",
+    '<div class="a  b "><p>x</p>  <pre>  keep   me\n</pre>'
+    "<script>var x=1;</script></div>",
+    "<p>caf&eacute; &#233; &#xE9; &#147; &unknownent; &amp</p>",
+    "<!DOCTYPE html><!-- a comment --><html><body><![CDATA[raw]]>"
+    "<?php echo 1 ?></body></html>",
+    "<ul><li>one<li>two<li>three</ul>",
+    "<b><i>nested</b></i>",
+    "<table><tr><td>a</td><td>b</table>",
+    '<a href="x" href="y" rel="nofollow external">dup</a>',
+    "<ruby>漢 <rt>kan</rt><rp>(</rp></ruby>",
+    "<template><p>tpl text</p></template><style>p{}</style>",
+    "<textarea>  spaces  kept  </textarea><p>   </p><p> \n </p>",
+    "<br/><br><img src=x></img><wbr>tail",
+    "<p>a<p>b<p>c",
+    "<div><p>unclosed<div>nested",
+    "<p></p><p> </p>",
+    "<pre><code>  x  </code></pre>",
+    "<SCRIPT>UP</SCRIPT><P CLASS='Y z'>case</P>",
+]
+
+
+def _ref_docs():
+    docs = list(CORPUS)
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque.tests import BAD_DOCUMENT
+
+    docs.append(BAD_DOCUMENT)
+    for f in sorted(glob.glob("/root/reference/src/bisque/tests/fuzz/*.testcase")):
+        try:
+            docs.append(open(f, "rb").read().decode("utf-8"))
+        except UnicodeDecodeError:
+            pass
+    return docs
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS)))
+def test_node_tree_matches_reference(i):
+    doc = CORPUS[i]
+    assert engine_nodes_comparable(parse_nodes(doc)) == ref_nodes(doc)
+
+
+def test_adversarial_corpus_matches_reference():
+    mismatches = 0
+    for doc in _ref_docs():
+        try:
+            expected = ref_nodes(doc)
+        except Exception:
+            # reference rejects this markup; engine policy is row-level
+            # error containment, not equality (SURVEY.md §4.2)
+            continue
+        got = engine_nodes_comparable(parse_nodes(doc))
+        if got != expected:
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_get_text_byte_equal():
+    for doc in _ref_docs():
+        try:
+            soup = ref_soup(doc)
+        except Exception:
+            continue
+        assert get_text(parse_nodes(doc)) == soup.get_text()
+        assert get_text(parse_nodes(doc), separator="|", strip=True) == soup.get_text(
+            separator="|", strip=True
+        )
+
+
+def test_get_text_subtree_and_string_containers():
+    doc = (
+        "<div><script>var s;</script><p>a b</p>"
+        "<figure><figcaption>cap  <b>x</b></figcaption></figure></div>"
+    )
+    nodes = parse_nodes(doc)
+    soup = ref_soup(doc)
+    fig = find_all(nodes, "figcaption")[0]
+    assert get_text(nodes, fig["pos"]) == soup.find("figcaption").get_text()
+    script = find_all(nodes, "script")[0]
+    assert get_text(nodes, script["pos"]) == soup.find("script").get_text()
+    # document-level get_text excludes script text (exact-type filter)
+    assert "var s;" not in get_text(nodes)
+
+
+def test_find_all_multivalued_class():
+    doc = '<p class="caption wide">a</p><p class="wide">b</p><p>c</p>'
+    nodes = parse_nodes(doc)
+    hits = find_all(nodes, "p", {"class": "caption"})
+    assert len(hits) == 1
+    soup = ref_soup(doc)
+    assert len(soup.find_all("p", class_="caption")) == 1
+    # whole-string match of the space-joined value also matches
+    assert len(find_all(nodes, "p", {"class": "caption wide"})) == 1

@@ -1,0 +1,54 @@
+"""Politeness window-rank: the two-phase (salted) rank must equal the
+naive exact per-host rank, and budgets must bind."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from bisque_spark.operators.schedule import politeness_select
+
+
+def _frontier(spark, n=400, hosts=5):
+    return (
+        spark.range(n)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://h"),
+                (F.col("id") % hosts).cast("string"),
+                F.lit(".test/p"),
+                F.col("id").cast("string"),
+            ),
+        )
+        .withColumn("host", (F.col("id") % hosts).cast("string"))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("priority", -(F.col("id") % 3).cast("double"))
+        .withColumn("depth", (F.col("id") % 3).cast("int"))
+        .withColumn("crawl_delay", F.lit(2.0))
+        .drop("id")
+    )
+
+
+def test_two_phase_equals_exact_rank(spark):
+    frontier = _frontier(spark)
+    budget_base = 8  # → budget 4 at delay 2.0
+    scheduled, deferred = politeness_select(frontier, budget_base)
+    got = sorted(
+        (r["host"], r["host_rank"], r["url_hash"])
+        for r in scheduled.collect()
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    naive = (
+        frontier.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 4)
+    )
+    want = sorted((r["host"], r["rk"], r["url_hash"]) for r in naive.collect())
+    assert got == want
+    # conservation: scheduled + deferred = frontier
+    assert scheduled.count() + deferred.count() == frontier.count()
+
+
+def test_budget_binds_per_host(spark):
+    frontier = _frontier(spark, n=100, hosts=2)
+    scheduled, _ = politeness_select(frontier, budget_base=3)  # budget 1
+    per_host = scheduled.groupBy("host").count().collect()
+    assert all(r["count"] == 1 for r in per_host)
