@@ -139,9 +139,14 @@ def url_host(url: str) -> str | None:
 # ---- Spark column-level wrappers -------------------------------------------
 
 
-@F.pandas_udf(StringType())
-def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+def _canonicalize_series(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+def canonicalize_url_udf(col):
+    """Arrow-batched canonicalizer (UDF built lazily — module-level
+    pandas_udf objects don't survive pickling to executors)."""
+    return F.pandas_udf(_canonicalize_series, StringType())(col)
 
 
 def with_canonical(df, url_col: str = "url", out_col: str = "url"):

@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+First-class engine operators for a training-data pipeline (task brief).
+Scale shapes:
+
+- exact: hash-groupBy on md5(text) — one shuffle, map-side partial agg.
+- MinHash+LSH: signatures in one Arrow-batched pandas UDF pass (numpy,
+  no per-row Python), banding JVM-side (slice+hash), candidate pairs
+  from a self-equi-join on (band, band_hash) — the join is the ONLY
+  shuffle and it's an equi-join Catalyst can plan (sort-merge or,
+  post-AQE, broadcast per bucket); similarity re-check JVM-side via
+  zip_with on the signatures, so no Python touches the pair explosion.
+- SimHash: 64-bit signature UDF, near-dup = bit_count(xor) ≤ r over
+  band-bucketed candidates.
+- n-gram Jaccard: token n-grams built JVM-side (transform over
+  sequence), jaccard = size(intersect)/size(union) — whole-stage
+  codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from bisque_spark.functions.text import simhash_udf, tokens_col
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct text (min id wins); adds dup_count."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5):
+    """Pandas UDF: text → array<long> MinHash signature over k-char
+    shingles (numpy-vectorized per document)."""
+    a, b = _minhash_params(n_hashes)
+
+    from bisque_spark.hashing import xxh64
+
+    @F.pandas_udf("array<long>")
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+        for t in texts:
+            if not t or len(t) < shingle_k:
+                out.append(empty.tolist())
+                continue
+            grams = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            h = np.fromiter(
+                (xxh64(g.encode("utf-8")) for g in grams),
+                dtype=np.uint64,
+                count=len(grams),
+            ) % np.uint64(_MERSENNE61)
+            # (a·h + b) mod p for all hash functions at once: (G, H)
+            vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    udf = make_minhash_udf(n_hashes, shingle_k)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Signature table → distinct candidate pairs (id_a < id_b).
+
+    Banding is JVM-side: band b's key = xxhash64 of the slice; pairs
+    come from a self-join on (band, band_hash).
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "sig", "bh.band", "bh.band_hash")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        left.join(right, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_similarity_col() -> F.Column:
+    """Estimated Jaccard from two signatures (JVM-side zip_with)."""
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches / F.size("sig_a")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """→ (id_a, id_b, est_jaccard) pairs above threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    return (
+        pairs.withColumn("est_jaccard", minhash_similarity_col())
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into n_bands
+    16-bit keys (any equal band → candidate), verify with bit_count."""
+    sig = df.select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+    width = 64 // n_bands
+    # band keys built with plan-time ints (shiftright needs a literal)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngrams_col(text_col: str, n: int = 3) -> F.Column:
+    """Distinct token n-grams, built JVM-side (no UDF)."""
+    toks = tokens_col(text_col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates: MinHash prunes the
+    pair space, then jaccard = |∩|/|∪| fully JVM-side."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, 64 // bands).select(
+        "id_a", "id_b"
+    )
+    grams = df.select(F.col(id_col), ngrams_col(text_col, n).alias("grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    joined = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        joined.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal (image/audio/video) column operators.
+
+Images/audio/video are opaque ``binary`` columns + typed metadata
+(the `images` table shape from BASELINE.json input_hint). Decode /
+resize / feature-extract run as Arrow-batched pandas UDFs over
+``mapInPandas``; the Spark plumbing (schemas, batch shape,
+partitioning) is real and tested, while codec support is limited to
+the sandbox's lossless formats ('raw', 'png' via the pure-stdlib
+codec in synth.py). Other codecs raise NotImplementedError per row →
+captured in the ``error`` column, never a task failure (same row-level
+error containment as the fetch/extract stages).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from bisque_spark.synth import decode_image
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, mean_g double, "
+    "mean_b double, error string"
+)
+
+THUMB_SCHEMA = "image_id string, w int, h int, thumb binary, error string"
+
+
+def _decode(row_bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    pixels = decode_image(bytes(row_bytes), fmt)
+    return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-image channel means (the feature-extraction stand-in)."""
+    for pdf in batches:
+        out = {
+            "image_id": [], "w": [], "h": [], "fmt": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "error": [],
+        }
+        for image_id, data, w, h, fmt in zip(
+            pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+        ):
+            err = None
+            means = (None, None, None)
+            try:
+                arr = _decode(data, fmt, int(w), int(h))
+                means = tuple(float(arr[..., c].mean()) for c in range(3))
+            except NotImplementedError:
+                err = f"codec_unavailable:{fmt}"
+            except Exception as exc:  # noqa: BLE001
+                err = f"decode_error:{type(exc).__name__}"
+            out["image_id"].append(image_id)
+            out["w"].append(int(w))
+            out["h"].append(int(h))
+            out["fmt"].append(fmt)
+            out["mean_r"].append(means[0])
+            out["mean_g"].append(means[1])
+            out["mean_b"].append(means[2])
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        image_features_batches, schema=FEATURES_SCHEMA
+    )
+
+
+def make_thumbnail_batches(target: int = 8):
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "w": [], "h": [], "thumb": [], "error": []}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                err, blob, tw, th = None, None, None, None
+                try:
+                    arr = _decode(data, fmt, int(w), int(h))
+                    # nearest-neighbor subsample (deterministic resize)
+                    ys = np.linspace(0, int(h) - 1, min(target, int(h))).astype(int)
+                    xs = np.linspace(0, int(w) - 1, min(target, int(w))).astype(int)
+                    t = arr[np.ix_(ys, xs)]
+                    th, tw = t.shape[0], t.shape[1]
+                    blob = t.tobytes()
+                except NotImplementedError:
+                    err = f"codec_unavailable:{fmt}"
+                except Exception as exc:  # noqa: BLE001
+                    err = f"decode_error:{type(exc).__name__}"
+                out["image_id"].append(image_id)
+                out["w"].append(tw)
+                out["h"].append(th)
+                out["thumb"].append(blob)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return thumbs
+
+
+def image_thumbnails(images: DataFrame, target: int = 8) -> DataFrame:
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        make_thumbnail_batches(target), schema=THUMB_SCHEMA
+    )
+
+
+def phash_near_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Perceptual-hash near-dup pairs via banded 64-bit keys (same
+    shape as simhash dedup) — JVM-side except nothing."""
+    n_bands, width = 4, 16
+    banded = images.select("image_id", "phash").select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.band", "bk.band_key")
+    left = banded.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("p_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("p_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("p_a").bitwiseXOR(F.col("p_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

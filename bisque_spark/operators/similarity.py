@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (task brief):
+- brute-force cosine top-k: the dot product is a JVM-side
+  zip_with/aggregate expression (whole-stage codegen) — correct
+  baseline at any scale where the query set is broadcastable.
+- LSH (random hyperplanes): signatures via one numpy matmul per Arrow
+  batch, bucket equi-join prunes the pair space, exact cosine re-rank
+  inside buckets. This is the 100-TB path: no cross join ever
+  materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _vec_as_double(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot_col(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a literal query vector.
+
+    JVM-only; ordering tie-broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine_col(_vec_as_double(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 5,
+) -> DataFrame:
+    """Each query row → its k nearest corpus rows (broadcast the
+    queries, window-rank per query). Scale: |queries| must be
+    broadcastable; the corpus streams."""
+    joined = df.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_col(_vec_as_double(vec_col), _vec_as_double(qvec_col)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    planes = np.random.RandomState(seed).normal(size=(dim, n_bits))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def bucket(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(embs.to_numpy())  # (n, dim) — one matmul per batch
+        bits = mat @ planes > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 42
+) -> DataFrame:
+    return df.withColumn(
+        "bucket", make_hyperplane_udf(dim, n_bits, seed)(F.col(vec_col))
+    )
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = 10,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Embedding near-dup pairs: same-hyperplane-bucket candidates,
+    exact cosine verify. Buckets bound the join fan-out at scale."""
+    b = lsh_bucket(df.select(id_col, vec_col), vec_col, dim, n_bits)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", cosine_col(_vec_as_double("v_a"), _vec_as_double("v_b"))
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

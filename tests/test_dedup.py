@@ -1,0 +1,72 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bisque_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    ngrams_col,
+    simhash_dedup_pairs,
+)
+
+BASE = (
+    "spark frontier crawl image caption engine batch shuffle partition "
+    "vector arrow parquet iceberg bloom politeness robots queue epoch"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE + " lineage"),  # near-duplicate
+        (3, "completely different text about cooking pasta with tomatoes"),
+        (4, "another unrelated document mentioning mountains rivers forests"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[0] == 2  # doc 1 collapsed into 0
+    assert 1 not in rows
+    assert rows[3] == 1
+
+
+def test_minhash_finds_duplicates(spark, docs):
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0  # identical docs: estimate exactly 1
+    assert (0, 2) in got or (1, 2) in got  # near-dup found
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_simhash_finds_duplicates(spark, docs):
+    pairs = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 3) not in got
+
+
+def test_ngrams_col(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = [r["g"] for r in df.select(ngrams_col("text", 3).alias("g")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    # manual check for the near-dup pair (0, 2)
+    toks = BASE.split()
+    g0 = {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+    toks2 = (BASE + " lineage").split()
+    g2 = {" ".join(toks2[i : i + 2]) for i in range(len(toks2) - 1)}
+    want = len(g0 & g2) / len(g0 | g2)
+    assert abs(got[(0, 2)] - want) < 1e-9

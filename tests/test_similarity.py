@@ -1,0 +1,52 @@
+"""Similarity search: brute-force cosine top-k vs numpy; LSH pairs."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from bisque_spark.operators.similarity import (
+    cosine_topk,
+    knn_join_bruteforce,
+    lsh_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(50, 16)).astype(np.float32)
+    mat[10] = mat[3]  # exact duplicate vector
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, mat
+
+
+def test_cosine_topk_matches_numpy(spark, vecs):
+    df, mat = vecs
+    q = mat[0].astype(np.float64)
+    m = mat.astype(np.float64)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = sorted(range(50), key=lambda i: (-cos[i], i))[:5]
+    got = [r["vec_id"] for r in cosine_topk(df, "embedding", list(mat[0]), k=5).collect()]
+    assert got == want
+
+
+def test_knn_join(spark, vecs):
+    df, mat = vecs
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in mat[0]]), (1, [float(x) for x in mat[1]])],
+        "query_id long, qvec array<float>",
+    )
+    out = knn_join_bruteforce(df, queries, k=3)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert len(per_q[0]) == 3 and len(per_q[1]) == 3
+    assert 0 in per_q[0]  # self is its own nearest neighbor
+
+
+def test_lsh_finds_identical_vectors(spark, vecs):
+    df, _ = vecs
+    pairs = lsh_near_pairs(df, dim=16, n_bits=8, min_cosine=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 10) in got  # identical vectors share every bucket
