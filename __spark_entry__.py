@@ -332,6 +332,50 @@ def _q_image_features(spark, sf_dir):
     )
 
 
+def _q_validate_images(spark, sf_dir):
+    """Pydantic-style batch validation over the images sink rows
+    (north_star: 'Pydantic field-extraction/validation schemas
+    re-expressed as pandas UDF batch validators'). Oracle =
+    tests/test_validate.py vs a real Pydantic model; rows-only here."""
+    from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.operators.validate import validate_images
+
+    ids = spark.range(300).select(
+        F.concat(F.lit("img-q-"), F.col("id")).alias("image_id"),
+        F.lit("cap").alias("caption"),
+    )
+    images = ids.mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    out = validate_images(images)
+    return out.select(
+        "image_id", "valid", F.size("errors").alias("n_errors")
+    )
+
+
+def _q_nodes_find_all(spark, sf_dir):
+    """find_all over the exploded node table (SURVEY §2.2 axes as
+    DataFrame ops). Oracle = reference bisque (tests/test_nodes.py);
+    rows-only here."""
+    from bisque_spark.operators.nodes import explode_nodes, find_all, strainer
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://docs.test/d"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<html><body><p class="body  text">'),
+            F.substring("text", 1, 150),
+            F.lit('</p><ul><li><a href="/a.html" rel="next  page">x</a></li>'),
+            F.lit("</ul></body></html>"),
+        ).alias("html"),
+    )
+    nodes = explode_nodes(pages, html_col="html")
+    hits = find_all(nodes, strainer("p", class_="text"))
+    return hits.select("url", "pos", "name", "sibling_idx", "depth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -353,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_captions": _q_extract_captions,
         "crawl_epoch_schedule": _q_crawl_epoch,
         "image_features": _q_image_features,
+        "validate_images": _q_validate_images,
+        "nodes_find_all": _q_nodes_find_all,
     }
 
 

@@ -48,33 +48,40 @@ def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5):
-    """Pandas UDF: text → array<long> MinHash signature over k-char
-    shingles (numpy-vectorized per document)."""
+def _minhash_series(texts, a, b, shingle_k):
+    """text -> MinHash signature, fully numpy-vectorized: shingles are
+    k-byte sliding windows packed into uint64 keys (no per-gram Python),
+    mixed by the (a*h + b) family (uint64 wrap then mod M61 --
+    deterministic across runs and machines)."""
+    n_hashes = len(a)
+    out = []
+    empty = np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+    weights = 256 ** np.arange(shingle_k, dtype=np.uint64)
+    pad = np.zeros(8, dtype=np.uint8)
+    for t in texts:
+        if not t:
+            out.append(empty.tolist())
+            continue
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(data) < shingle_k:
+            data = np.concatenate([data, pad[: shingle_k - len(data)]])
+        win = np.lib.stride_tricks.sliding_window_view(data, shingle_k)
+        keys = np.unique(win.astype(np.uint64) @ weights)
+        vals = (keys[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
+        out.append(vals.min(axis=0).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 8):
+    """Pandas UDF factory: text -> array<long> MinHash signature over
+    k-byte shingles (k <= 8)."""
+    assert shingle_k <= 8
     a, b = _minhash_params(n_hashes)
 
-    from bisque_spark.hashing import xxh64
+    def fn(texts: pd.Series) -> pd.Series:
+        return _minhash_series(texts, a, b, shingle_k)
 
-    @F.pandas_udf("array<long>")
-    def minhash(texts: pd.Series) -> pd.Series:
-        out = []
-        empty = np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
-        for t in texts:
-            if not t or len(t) < shingle_k:
-                out.append(empty.tolist())
-                continue
-            grams = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-            h = np.fromiter(
-                (xxh64(g.encode("utf-8")) for g in grams),
-                dtype=np.uint64,
-                count=len(grams),
-            ) % np.uint64(_MERSENNE61)
-            # (a·h + b) mod p for all hash functions at once: (G, H)
-            vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return minhash
+    return F.pandas_udf(fn, "array<long>")
 
 
 def minhash_signatures(
@@ -82,10 +89,12 @@ def minhash_signatures(
     id_col: str,
     text_col: str,
     n_hashes: int = 64,
-    shingle_k: int = 5,
+    shingle_k: int = 8,
 ) -> DataFrame:
+    from bisque_spark.util import spread
+
     udf = make_minhash_udf(n_hashes, shingle_k)
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+    return spread(df).select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -144,8 +153,11 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """→ (id_a, id_b, est_jaccard) pairs above threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes)
+    """→ (id_a, id_b, est_jaccard) pairs above threshold.
+
+    Signatures are persisted across the LSH self-join — otherwise the
+    signature UDF runs twice (once per join side)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
     return (
         pairs.withColumn("est_jaccard", minhash_similarity_col())
@@ -163,9 +175,11 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into n_bands
     16-bit keys (any equal band → candidate), verify with bit_count."""
-    sig = df.select(
+    from bisque_spark.util import spread
+
+    sig = spread(df).select(
         F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
-    )
+    ).persist()
     width = 64 // n_bands
     # band keys built with plan-time ints (shiftright needs a literal)
     banded = sig.select(
@@ -224,7 +238,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates: MinHash prunes the
     pair space, then jaccard = |∩|/|∪| fully JVM-side."""
-    sigs = minhash_signatures(df, id_col, text_col)
+    sigs = minhash_signatures(df, id_col, text_col).persist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, 64 // bands).select(
         "id_a", "id_b"
     )

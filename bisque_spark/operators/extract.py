@@ -197,6 +197,51 @@ def extract_batches(
         yield pd.DataFrame(out)
 
 
+def make_fetch_extract_batches(world):
+    """Fused fetch+decode+parse+extract in ONE Arrow pass.
+
+    The crawl's hot path: keeping fetch and extract in a single
+    mapInPandas halves the JVM↔Python Arrow round-trips per epoch (one
+    python worker stage instead of two back-to-back). Input: frontier
+    slice (url); output: EXTRACT_SCHEMA.
+    """
+    from bisque_spark.synth import page_bytes
+
+    def fetch_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
+            for url in pdf["url"]:
+                status, content = page_bytes(world, url)
+                images: list = []
+                links: list = []
+                encoding = None
+                error = None
+                if status == 200 and content is not None:
+                    try:
+                        text, encoding, had_repl = decode_html(bytes(content))
+                        if text is None:
+                            error = "decode_failed"
+                        else:
+                            res = extract_page(text, url)
+                            images = res["images"]
+                            links = res["links"]
+                            if had_repl:
+                                error = "replacement_characters"
+                    except Exception as exc:  # noqa: BLE001
+                        error = f"parse_error:{type(exc).__name__}"
+                else:
+                    error = f"http_{status}"
+                out["url"].append(url)
+                out["status"].append(int(status))
+                out["encoding"].append(encoding)
+                out["images"].append(images)
+                out["links"].append(links)
+                out["error"].append(error)
+            yield pd.DataFrame(out)
+
+    return fetch_extract
+
+
 def materialize_images_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

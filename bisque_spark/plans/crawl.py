@@ -24,17 +24,26 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
+
+_TIMING = os.environ.get("BISQUE_CRAWL_TIMING") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    now = time.time()
+    if _TIMING:
+        print(f"    [crawl-timing] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bisque_spark.operators.extract import (
     EXTRACT_SCHEMA,
-    extract_batches,
+    make_fetch_extract_batches,
     materialize_images_batches,
 )
-from bisque_spark.operators.fetch import fetch
 from bisque_spark.operators.schedule import (
     apply_robots,
     politeness_select,
@@ -128,10 +137,19 @@ def run_crawl(
 
     epoch = start_epoch
     while epoch < max_epochs:
-        if frontier is None or frontier.isEmpty():
+        t = time.time()
+        # persist the frontier before fanning out: epoch 0's frontier is
+        # the seed plan (canonicalize UDF + dedup + robots join) and the
+        # politeness/deferred branches would otherwise recompute it per
+        # downstream action
+        frontier = frontier.persist()
+        if frontier.isEmpty():
+            frontier.unpersist()
             break
+        t = _tick("isEmpty", t)
         scheduled, deferred = politeness_select(frontier, world.host_budget_base)
         scheduled = scheduled.persist()
+        deferred = deferred.persist()
         order_log = scheduled.select(
             F.lit(epoch).alias("epoch"),
             "host",
@@ -141,10 +159,12 @@ def run_crawl(
             "url",
         )
 
-        pages = fetch(scheduled, world)
-        extracted = pages.mapInPandas(
-            extract_batches, schema=EXTRACT_SCHEMA
-        ).persist()
+        # fused fetch+decode+parse+extract: one Arrow stage per epoch
+        extracted = (
+            scheduled.select("url")
+            .mapInPandas(make_fetch_extract_batches(world), schema=EXTRACT_SCHEMA)
+            .persist()
+        )
 
         images_flat = extracted.select(
             F.explode("images").alias("img")
@@ -163,12 +183,23 @@ def run_crawl(
             links.withColumn("depth", F.lit(epoch + 1)), epoch=epoch + 1
         )
         candidates = apply_robots(candidates, robots)
-        new_urls = filter_unseen(
-            candidates, shards, seen_exact, n_buckets=n_buckets
-        ).select(*FRONTIER_COLS)
+        # persisted: reused by the frontier/seen_exact/shards writes
+        new_urls = (
+            filter_unseen(candidates, shards, seen_exact, n_buckets=n_buckets)
+            .select(*FRONTIER_COLS)
+            .persist()
+        )
 
-        rows_fetched = extracted.where(F.col("error").isNull()).count()
-        rows_failed = extracted.where(F.col("error").isNotNull()).count()
+        # one aggregation job for all lineage counters (scheduled rows ==
+        # extracted rows, so no separate count on `scheduled`)
+        counts = extracted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("error").isNull().cast("long")).alias("ok"),
+        ).first()
+        rows_scheduled = counts["n"] or 0
+        rows_fetched = counts["ok"] or 0
+        rows_failed = rows_scheduled - rows_fetched
+        t = _tick("schedule+fetch+extract+counts", t)
 
         next_frontier = deferred.select(*FRONTIER_COLS).unionByName(new_urls)
         new_hashes = new_urls.select("url_hash")
@@ -180,13 +211,18 @@ def run_crawl(
         # ---- commit epoch state ------------------------------------------
         d = _epoch_dir(workdir, epoch)
         _write(images, os.path.join(d, "images"))
+        t = _tick("write images", t)
         _write(order_log, os.path.join(d, "order"))
+        t = _tick("write order", t)
         _write(next_frontier, os.path.join(d, "frontier"))
+        t = _tick("write frontier (links+dedup)", t)
         _write(next_seen, os.path.join(d, "seen_exact"))
+        t = _tick("write seen_exact", t)
         _write(next_shards, os.path.join(d, "shards"))
+        t = _tick("write shards", t)
         lineage = {
             "epoch": epoch,
-            "rows_scheduled": scheduled.count(),
+            "rows_scheduled": rows_scheduled,
             "rows_fetched": rows_fetched,
             "rows_failed": rows_failed,
             "bloom_version": epoch + 1,
@@ -197,6 +233,9 @@ def run_crawl(
             f.write("ok")
         scheduled.unpersist()
         extracted.unpersist()
+        deferred.unpersist()
+        new_urls.unpersist()
+        frontier.unpersist()
 
         # read the committed state back: cuts lineage growth across the
         # iterative loop and makes resume = continue exactly

@@ -1,0 +1,125 @@
+"""Node-table operators vs the reference: axes + strainer + get_text."""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from bisque_spark.operators.nodes import (
+    children_of,
+    descendants_of,
+    explode_nodes,
+    find_all,
+    find_first,
+    get_text_of,
+    next_siblings_of,
+    parents_of,
+    strainer,
+)
+from ref_oracle import ref_soup
+
+DOCS = [
+    (
+        "u1",
+        '<div class="a b"><p>one</p><figure><img src="x" alt="A"/>'
+        "<figcaption>cap <b>bold</b></figcaption></figure>"
+        '<p class="caption wide">two</p></div>',
+    ),
+    (
+        "u2",
+        "<ul><li>x<li>y<li>z</ul><script>s()</script>"
+        "<p>caf&eacute;</p><pre> keep </pre>",
+    ),
+    ("u3", "<html><body><p> </p><!-- c --><table><tr><td>t</td></table></body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    pages = spark.createDataFrame(DOCS, "url string, text string")
+    return explode_nodes(pages).persist()
+
+
+def test_find_all_name_matches_reference(spark, nodes):
+    for name in ["p", "li", "img", "table"]:
+        got = (
+            find_all(nodes, strainer(name))
+            .groupBy("url")
+            .count()
+            .collect()
+        )
+        got_map = {r["url"]: r["count"] for r in got}
+        for url, doc in DOCS:
+            want = len(ref_soup(doc).find_all(name))
+            assert got_map.get(url, 0) == want, (name, url)
+
+
+def test_find_all_attrs_and_class(spark, nodes):
+    hits = find_all(nodes, strainer("p", class_="caption")).collect()
+    assert len(hits) == 1 and hits[0]["url"] == "u1"
+    # regex name
+    n = find_all(nodes, strainer(re.compile("^t"))).count()  # table, td, tr
+    want = sum(len(ref_soup(d).find_all(re.compile("^t"))) for _, d in DOCS)
+    assert n == want
+    # list-of-names
+    n2 = find_all(nodes, strainer(["p", "li"])).count()
+    want2 = sum(len(ref_soup(d).find_all(["p", "li"])) for _, d in DOCS)
+    assert n2 == want2
+    # attrs=True presence
+    n3 = find_all(nodes, strainer(None, {"src": True})).count()
+    assert n3 == 1
+
+
+def test_find_first_limit(spark, nodes):
+    firsts = find_first(nodes, strainer("li")).collect()
+    assert len(firsts) == 1  # only u2 has li; first one only
+    assert firsts[0]["url"] == "u2"
+    lim = find_all(nodes, strainer("li"), limit=2).count()
+    assert lim == 2
+
+
+def test_axes_match_reference(spark, nodes):
+    figs = find_all(nodes, strainer("figure"))
+    desc = descendants_of(nodes, figs)
+    # figure subtree: img, figcaption, 'cap ', b, 'bold'
+    assert desc.count() == 5
+    kids = children_of(nodes, figs)
+    assert sorted(r["name"] or "#str" for r in kids.collect()) == [
+        "figcaption",
+        "img",
+    ]
+    imgs = find_all(nodes, strainer("img"))
+    sibs = next_siblings_of(nodes, imgs)
+    assert [r["name"] for r in sibs.collect()] == ["figcaption"]
+    pars = parents_of(nodes, imgs).collect()
+    assert sorted(r["name"] for r in pars) == ["div", "figure"]
+
+
+def test_get_text_matches_reference(spark, nodes):
+    figs = find_all(nodes, strainer("figcaption"))
+    out = get_text_of(nodes, figs).collect()
+    assert len(out) == 1
+    want = ref_soup(DOCS[0][1]).find("figcaption").get_text()
+    assert out[0]["text"] == want
+    # script container typing
+    scripts = find_all(nodes, strainer("script"))
+    got = get_text_of(nodes, scripts).collect()[0]["text"]
+    assert got == ref_soup(DOCS[1][1]).find("script").get_text()
+    # whole-document get_text per url
+    docs_roots = (
+        nodes.groupBy("url")
+        .agg(
+            F.lit(-1).alias("pos"),
+            (F.max("pos")).alias("subtree_end"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    texts = {r["url"]: r["text"] for r in get_text_of(nodes, docs_roots).collect()}
+    for url, doc in DOCS:
+        assert texts[url] == ref_soup(doc).get_text(), url
+
+
+def test_string_strainer(spark, nodes):
+    hits = find_all(nodes, strainer(string=re.compile("caf"))).collect()
+    assert len(hits) == 1 and hits[0]["kind"] == "text"
+    assert hits[0]["text"] == "café"
