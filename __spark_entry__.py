@@ -376,6 +376,26 @@ def _q_nodes_find_all(spark, sf_dir):
     return hits.select("url", "pos", "name", "sibling_idx", "depth")
 
 
+def _q_css_select(spark, sf_dir):
+    """CSS selector subset over synthesized pages (SURVEY §2.2 select).
+    Oracle = hand-derived corpus + find_all cross-check
+    (tests/test_css.py); rows-only here."""
+    from bisque_spark.functions.css import select_stage
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://docs.test/d"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<div class="outer"><p class="a">'),
+            F.substring("text", 1, 80),
+            F.lit('</p><p class="a b">x</p><ul><li><a href="/n.html" rel="next">n</a>'),
+            F.lit("</li></ul></div>"),
+        ).alias("html"),
+    )
+    hits = select_stage(pages, "div.outer > p.a.b, a[rel~=next]")
+    return hits.select("url", "pos", "name", "depth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -399,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "validate_images": _q_validate_images,
         "nodes_find_all": _q_nodes_find_all,
+        "css_select": _q_css_select,
     }
 
 

@@ -1,0 +1,255 @@
+"""CSS selector subset compiled against the flat node table.
+
+The reference delegates ``select()`` to the external chinois/soupsieve
+engine (/root/reference/src/bisque/css.py:82-305) which pointer-walks
+the tree. Here the selector compiles to predicates over the flat node
+records (bisque_spark.parse) — per-document inside a pandas UDF, the
+same execution slot as the extractor (SURVEY.md §3.3).
+
+Supported subset (the reference test corpus's coverage,
+src/bisque/tests/css_test.py): tag, ``*``, ``.class``, ``#id``,
+``[attr]``, ``[attr=v]``, ``[attr~=v]``, ``[attr^=v]``, ``[attr$=v]``,
+``[attr*=v]``, ``:nth-of-type(n)``, ``:first-of-type``, the
+descendant / ``>`` / ``+`` / ``~`` combinators, and ``,`` grouping.
+Quoted attribute values may use single or double quotes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from bisque_spark.parse import is_cdata_list_attr, split_cdata_list
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)
+  | \#(?P<id>[\w-]+)
+  | \.(?P<cls>[\w-]+)
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<q>['"]?)(?P<val>[^\]'"]*)(?P=q))?\]
+  | :nth-of-type\((?P<nth>\d+)\)
+  | :first-of-type
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Simple:
+    tag: str | None = None
+    ids: list[str] = field(default_factory=list)
+    classes: list[str] = field(default_factory=list)
+    attrs: list[tuple[str, str | None, str | None]] = field(default_factory=list)
+    nth_of_type: int | None = None
+
+
+def _parse_compound(text: str) -> Simple:
+    simple = Simple()
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"unsupported selector fragment: {text[pos:]!r}")
+        if m.group("tag"):
+            simple.tag = None if m.group("tag") == "*" else m.group("tag").lower()
+        elif m.group("id"):
+            simple.ids.append(m.group("id"))
+        elif m.group("cls"):
+            simple.classes.append(m.group("cls"))
+        elif m.group("attr"):
+            simple.attrs.append((m.group("attr"), m.group("op"), m.group("val")))
+        elif m.group("nth"):
+            simple.nth_of_type = int(m.group("nth"))
+        elif m.group(0) == ":first-of-type":
+            simple.nth_of_type = 1
+        pos = m.end()
+    return simple
+
+
+def parse_selector(selector: str) -> list[list[tuple[str, Simple]]]:
+    """'div > p.x, a' → [[(' ', div), ('>', p.x)], [(' ', a)]]."""
+    groups = []
+    for alt in selector.split(","):
+        alt = alt.strip()
+        if not alt:
+            continue
+        # normalize combinator spacing, then split into tokens
+        # (`~` is a combinator only when not part of a `~=` attr op)
+        alt = re.sub(r"\s*(>|\+|~(?!=))\s*", r" \1 ", alt)
+        parts = alt.split()
+        chain: list[tuple[str, Simple]] = []
+        comb = " "
+        for part in parts:
+            if part in (">", "+", "~"):
+                comb = part
+                continue
+            chain.append((comb, _parse_compound(part)))
+            comb = " "
+        if not chain:
+            raise ValueError(f"empty selector alternative in {selector!r}")
+        groups.append(chain)
+    if not groups:
+        raise ValueError(f"empty selector: {selector!r}")
+    return groups
+
+
+def _attr_match(node: dict, name: str, op: str | None, want: str | None) -> bool:
+    attrs = node["attrs"] or {}
+    if name not in attrs:
+        return False
+    raw = attrs[name]
+    if op is None or want is None:
+        return True
+    if op == "=":
+        # multi-valued attributes compare against the space-joined list
+        if is_cdata_list_attr(node["name"], name):
+            return " ".join(split_cdata_list(raw)) == want
+        return raw == want
+    if op == "~=":
+        return want in raw.split()
+    if op == "^=":
+        return bool(want) and raw.startswith(want)
+    if op == "$=":
+        return bool(want) and raw.endswith(want)
+    if op == "*=":
+        return bool(want) and want in raw
+    if op == "|=":
+        return raw == want or raw.startswith(want + "-")
+    return False
+
+
+class _DocIndex:
+    """Per-document lookup structures for combinator evaluation."""
+
+    def __init__(self, nodes: list[dict]):
+        self.nodes = nodes
+        # (parent_pos, name) → ordered positions, for nth-of-type
+        self.type_order: dict[tuple[int, str], list[int]] = {}
+        # parent_pos → ordered tag children positions, for +/~
+        self.tag_children: dict[int, list[int]] = {}
+        for n in nodes:
+            if n["kind"] != "tag":
+                continue
+            self.type_order.setdefault((n["parent_pos"], n["name"]), []).append(
+                n["pos"]
+            )
+            self.tag_children.setdefault(n["parent_pos"], []).append(n["pos"])
+
+    def nth_of_type(self, node: dict) -> int:
+        return self.type_order[(node["parent_pos"], node["name"])].index(
+            node["pos"]
+        ) + 1
+
+    def prev_tag_sibling(self, node: dict) -> dict | None:
+        sibs = self.tag_children.get(node["parent_pos"], [])
+        i = sibs.index(node["pos"])
+        return self.nodes[sibs[i - 1]] if i > 0 else None
+
+    def prev_tag_siblings(self, node: dict):
+        sibs = self.tag_children.get(node["parent_pos"], [])
+        i = sibs.index(node["pos"])
+        for p in sibs[:i]:
+            yield self.nodes[p]
+
+
+def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
+    if node["kind"] != "tag":
+        return False
+    if simple.tag is not None and node["name"] != simple.tag:
+        return False
+    attrs = node["attrs"] or {}
+    for i in simple.ids:
+        if attrs.get("id") != i:
+            return False
+    if simple.classes:
+        have = split_cdata_list(attrs.get("class", ""))
+        if not all(c in have for c in simple.classes):
+            return False
+    for name, op, want in simple.attrs:
+        if not _attr_match(node, name, op, want):
+            return False
+    if simple.nth_of_type is not None and idx.nth_of_type(node) != simple.nth_of_type:
+        return False
+    return True
+
+
+def _matches_chain(
+    node: dict, chain: list[tuple[str, Simple]], idx: _DocIndex
+) -> bool:
+    comb, simple = chain[-1]
+    if not _matches_simple(node, simple, idx):
+        return False
+    if len(chain) == 1:
+        return True
+    rest = chain[:-1]
+    nodes = idx.nodes
+    if comb == " ":
+        p = node["parent_pos"]
+        while p >= 0:
+            if _matches_chain(nodes[p], rest, idx):
+                return True
+            p = nodes[p]["parent_pos"]
+        return False
+    if comb == ">":
+        p = node["parent_pos"]
+        return p >= 0 and _matches_chain(nodes[p], rest, idx)
+    if comb == "+":
+        prev = idx.prev_tag_sibling(node)
+        return prev is not None and _matches_chain(prev, rest, idx)
+    if comb == "~":
+        return any(_matches_chain(s, rest, idx) for s in idx.prev_tag_siblings(node))
+    raise ValueError(f"unknown combinator {comb!r}")
+
+
+def select(
+    nodes: list[dict],
+    selector: str,
+    root_pos: int | None = None,
+    limit: int | None = None,
+) -> list[dict]:
+    """CSS select over one document's node list, in document order."""
+    groups = parse_selector(selector)
+    idx = _DocIndex(nodes)
+    if root_pos is None:
+        lo, hi = -1, len(nodes) - 1
+    else:
+        root = nodes[root_pos]
+        lo, hi = root["pos"], root["subtree_end"]
+    out = []
+    for node in nodes[lo + 1 : hi + 1]:
+        if any(_matches_chain(node, chain, idx) for chain in groups):
+            out.append(node)
+            if limit is not None and len(out) >= limit:
+                break
+    return out
+
+
+def select_one(nodes: list[dict], selector: str) -> dict | None:
+    hits = select(nodes, selector, limit=1)
+    return hits[0] if hits else None
+
+
+def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "html"):
+    """DataFrame stage: (url, html) rows → matched node rows per
+    document (document-order), one Arrow parse+select pass."""
+    import pandas as pd
+
+    from bisque_spark.operators.nodes import NODES_SCHEMA, _FIELDS
+    from bisque_spark.parse import parse_nodes
+    from bisque_spark.util import spread
+
+    def run(batches):
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in _FIELDS}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                nodes = parse_nodes(html)
+                for hit in select(nodes, selector):
+                    out["url"].append(url)
+                    for k in _FIELDS[1:]:
+                        out[k].append(hit[k])
+            yield pd.DataFrame(out)
+
+    src = spread(pages.select(url_col, html_col))
+    return src.mapInPandas(run, schema=NODES_SCHEMA)

@@ -330,6 +330,94 @@ def parse_nodes(markup: str, original_encoding: str | None = None) -> list[dict]
     return collector.nodes
 
 
+# ---- serialization (the reference's "serialize sink", SURVEY §2.1) ---------
+#
+# Re-expresses Bisque.decode / Tag.decode with the default "minimal"
+# formatter (tag.py:569-661, _format_tag tag.py:727-784, formatter
+# registry formatter.py:182-205): sorted attributes, double/single
+# quote selection with &quot; escaping (substitution.py:163-198),
+# &<> → entities except inside script/style (cdata_containing_tags,
+# formatter.py:43,111-133), void elements closed with "/", and the
+# per-kind literal wrappers for comments/doctype/CDATA/PI nodes.
+
+_XML_ENTITY_MAP = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+_AMP_OR_BRACKET = re.compile(r"[<>&]")
+
+# (prefix, suffix) literal wrappers per preformatted string kind
+# (tag_core/main.py:99-138)
+_STRING_WRAPPERS = {
+    "comment": ("<!--", "-->"),
+    "cdata": ("<![CDATA[", "]]>"),
+    "pi": ("<?", ">"),
+    "decl": ("<?", ">"),
+    "doctype": ("<!DOCTYPE ", ">\n"),
+}
+_CDATA_CONTAINING_KINDS = {"script", "stylesheet"}
+
+
+def substitute_xml(value: str) -> str:
+    """&<> → entities (EntitySubstitution.substitute_xml)."""
+    return _AMP_OR_BRACKET.sub(lambda m: _XML_ENTITY_MAP[m.group(0)], value)
+
+
+def quoted_attribute_value(value: str) -> str:
+    """Quote-style selection per substitution.py:163-198."""
+    quote_with = '"'
+    if '"' in value:
+        if "'" in value:
+            value = value.replace('"', "&quot;")
+        else:
+            quote_with = "'"
+    return quote_with + value + quote_with
+
+
+def _open_tag(node: dict, self_closing: bool) -> str:
+    attrs = node["attrs"] or {}
+    parts = [f"<{node['name']}"]
+    attr_bits = []
+    for key in sorted(attrs):
+        val = attrs[key]
+        if is_cdata_list_attr(node["name"], key):
+            val = " ".join(split_cdata_list(val))
+        text = substitute_xml(val)
+        attr_bits.append(f"{key}={quoted_attribute_value(text)}")
+    if attr_bits:
+        parts.append(" " + " ".join(attr_bits))
+    parts.append("/>" if self_closing else ">")
+    return "".join(parts)
+
+
+def serialize_nodes(nodes: list[dict]) -> str:
+    """Flat node list → markup string (bisque ``str(soup)`` parity)."""
+    pieces: list[str] = []
+    open_stack: list[dict] = []  # tag nodes awaiting their END
+    for node in nodes:
+        while open_stack and open_stack[-1]["subtree_end"] < node["pos"]:
+            closed = open_stack.pop()
+            pieces.append(f"</{closed['name']}>")
+        kind = node["kind"]
+        if kind == "tag":
+            childless = node["subtree_end"] == node["pos"]
+            if childless and node["name"] in EMPTY_ELEMENT_TAGS:
+                pieces.append(_open_tag(node, self_closing=True))
+            elif childless:
+                pieces.append(_open_tag(node, self_closing=False))
+                pieces.append(f"</{node['name']}>")
+            else:
+                pieces.append(_open_tag(node, self_closing=False))
+                open_stack.append(node)
+        elif kind in _STRING_WRAPPERS:
+            prefix, suffix = _STRING_WRAPPERS[kind]
+            pieces.append(prefix + node["text"] + suffix)
+        elif kind in _CDATA_CONTAINING_KINDS:
+            pieces.append(node["text"])  # no substitution inside script/style
+        else:  # text / template / rubytext / rubyparen
+            pieces.append(substitute_xml(node["text"]))
+    while open_stack:
+        pieces.append(f"</{open_stack.pop()['name']}>")
+    return "".join(pieces)
+
+
 def interesting_kinds_for(tag_name: str | None) -> frozenset[str]:
     """Which string kinds get_text() collects under a given tag."""
     if tag_name in STRING_CONTAINERS:

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion: continuous page → images pipeline.
+
+The crawl's frontier loop is batch-iterative by necessity (epoch N's
+input is epoch N-1's output — SURVEY.md §1.5/§7). What Structured
+Streaming *does* fit is the ingestion side: fetched pages landing in a
+directory/queue are parsed, extracted, validated, and appended to the
+images sink continuously, with exactly-once file-source semantics and
+checkpointed progress. This module provides that stage:
+
+    pages parquet dir (url, status, content)  --readStream-->
+    fused decode+parse+extract (mapInPandas)  -->
+    explode images  -->  images sink (append, checkpointed)
+
+plus a windowed per-host throughput aggregation with a watermark for
+late arrivals — the monitoring stream a production crawl would run.
+
+Tests drive it with ``trigger(availableNow=True)`` so the pipeline is
+exercised end-to-end without a long-running query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bisque_spark.operators.extract import EXTRACT_SCHEMA, extract_batches
+
+PAGES_SCHEMA = "url string, status int, content binary, fetched_at timestamp"
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """File-source stream over a directory of pages parquet files.
+    Exactly-once per file via the source's checkpoint log."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+
+def extract_images_stream(pages: DataFrame) -> DataFrame:
+    """Streaming decode+parse+extract → one row per image."""
+    extracted = pages.select("url", "status", "content").mapInPandas(
+        extract_batches, schema=EXTRACT_SCHEMA
+    )
+    return extracted.select(
+        "url", F.explode("images").alias("img")
+    ).select("url", "img.image_id", "img.src", "img.caption")
+
+
+def write_images_stream(
+    images: DataFrame, sink_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Append-mode sink with checkpointing; availableNow drains the
+    source and stops (test/batch-catchup mode)."""
+    writer = (
+        images.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_throughput_stream(pages: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Watermarked windowed aggregation: fetched pages per host per
+    window (late rows beyond 2 minutes dropped)."""
+    return (
+        pages.withColumn(
+            "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+        )
+        .withWatermark("fetched_at", "2 minutes")
+        .groupBy(F.window("fetched_at", window), "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
+        )
+    )

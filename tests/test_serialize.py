@@ -1,0 +1,48 @@
+"""Serialization sink: parse → serialize must byte-equal the reference's
+``str(soup)`` (the reference test harness's own round-trip invariant,
+tests/__init__.py:106-129)."""
+
+import glob
+import sys
+
+from bisque_spark.parse import parse_nodes, serialize_nodes
+from ref_oracle import ref_soup
+from test_parse import CORPUS
+
+
+def _docs():
+    docs = list(CORPUS)
+    sys.path.insert(0, "/root/reference/src")
+    from bisque.tests import BAD_DOCUMENT
+
+    docs.append(BAD_DOCUMENT)
+    for f in sorted(glob.glob("/root/reference/src/bisque/tests/fuzz/*.testcase")):
+        try:
+            docs.append(open(f, "rb").read().decode("utf-8"))
+        except UnicodeDecodeError:
+            pass
+    return docs
+
+
+def test_serialize_byte_equal_reference():
+    checked = 0
+    for doc in _docs():
+        try:
+            want = ref_soup(doc).decode()
+        except Exception:
+            continue
+        assert serialize_nodes(parse_nodes(doc)) == want
+        checked += 1
+    assert checked >= 20
+
+
+def test_serialize_details():
+    # attr sorting, quote selection, multi-valued join, void elements
+    doc = """<img z="1" a='x "q" y' class="b  a"><p>&lt;tag&gt; &amp; more</p>"""
+    assert serialize_nodes(parse_nodes(doc)) == ref_soup(doc).decode()
+    # script content not escaped; style too
+    doc2 = "<script>if (a && b < c) {}</script><style>a>b{}</style>"
+    assert serialize_nodes(parse_nodes(doc2)) == ref_soup(doc2).decode()
+    # idempotent re-parse (fixpoint)
+    once = serialize_nodes(parse_nodes(doc2))
+    assert serialize_nodes(parse_nodes(once)) == once

@@ -1,0 +1,109 @@
+"""Structured Streaming ingestion: exactly-once file-source pipeline."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bisque_spark.streaming.ingest import (
+    extract_images_stream,
+    host_throughput_stream,
+    read_pages_stream,
+    write_images_stream,
+)
+from bisque_spark.synth import World, page_bytes, page_url
+
+
+def _write_pages_batch(spark, pages_dir, world, host_range, batch_id):
+    rows = []
+    for i in host_range:
+        for p in range(3):
+            url = page_url(world, i, p)
+            status, content = page_bytes(world, url)
+            rows.append((url, status, content))
+    df = spark.createDataFrame(rows, "url string, status int, content binary")
+    df = df.withColumn(
+        "fetched_at",
+        F.to_timestamp(F.lit(f"2024-01-01 00:0{batch_id}:00")),
+    )
+    df.write.mode("append").parquet(pages_dir)
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    return {
+        "pages": str(base / "pages"),
+        "sink": str(base / "images"),
+        "ckpt": str(base / "ckpt"),
+    }
+
+
+def test_stream_ingest_exactly_once(spark, dirs):
+    world = World(n_hosts=6)
+    _write_pages_batch(spark, dirs["pages"], world, range(0, 3), 1)
+
+    stream = read_pages_stream(spark, dirs["pages"])
+    assert stream.isStreaming
+    images = extract_images_stream(stream)
+    q = write_images_stream(images, dirs["sink"], dirs["ckpt"])
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(dirs["sink"])
+    n1 = first.count()
+    assert n1 > 0
+    assert set(first.columns) == {"url", "image_id", "src", "caption"}
+
+    # second micro-batch of NEW files: only the delta is processed
+    _write_pages_batch(spark, dirs["pages"], world, range(3, 6), 2)
+    q2 = write_images_stream(
+        extract_images_stream(read_pages_stream(spark, dirs["pages"])),
+        dirs["sink"],
+        dirs["ckpt"],
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(dirs["sink"])
+    n2 = again.count()
+    assert n2 > n1
+    # exactly-once: no image_id duplicated across restarts
+    assert again.select("image_id").distinct().count() == n2
+
+
+def test_stream_matches_batch_extraction(spark, dirs):
+    """The streaming pipeline must produce exactly what the batch
+    operator produces on the same pages."""
+    from bisque_spark.operators.extract import EXTRACT_SCHEMA, extract_batches
+
+    pages = spark.read.parquet(dirs["pages"])
+    batch = (
+        pages.select("url", "status", "content")
+        .mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
+        .select("url", F.explode("images").alias("img"))
+        .select("url", "img.image_id", "img.caption")
+    )
+    want = sorted(
+        (r["url"], r["image_id"], r["caption"]) for r in batch.collect()
+    )
+    got = sorted(
+        (r["url"], r["image_id"], r["caption"])
+        for r in spark.read.parquet(dirs["sink"]).collect()
+    )
+    assert got == want
+
+
+def test_windowed_host_throughput(spark, dirs):
+    stream = read_pages_stream(spark, dirs["pages"])
+    agg = host_throughput_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("host_tp")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from host_tp").collect()
+    assert rows
+    assert all(r["n_pages"] >= r["n_ok"] for r in rows)
+    hosts = {r["host"] for r in rows}
+    assert any(h.startswith("h000") for h in hosts)
