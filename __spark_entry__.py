@@ -376,6 +376,121 @@ def _q_nodes_find_all(spark, sf_dir):
     return hits.select("url", "pos", "name", "sibling_idx", "depth")
 
 
+def _q_parts_by_brand(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+def _q_supplier_balance_by_nation(spark, sf_dir):
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+def _q_orders_by_month(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        )
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _q_events_value_histogram(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 10).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_events_props_extract(spark, sf_dir):
+    """Scalar JSON-ish extraction via regexp (dialect-portable)."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r":\s*(\d+)", 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_customer_segments(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+def _q_region_nation_counts(spark, sf_dir):
+    r = _load(spark, sf_dir, "region")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+def _q_top_suppliers_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        _load(spark, sf_dir, "supplier")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("s_nationkey", "s_suppkey", "rk",
+                F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+def _q_events_user_daily(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def _q_css_select(spark, sf_dir):
     """CSS selector subset over synthesized pages (SURVEY §2.2 select).
     Oracle = hand-derived corpus + find_all cross-check
@@ -420,6 +535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_images": _q_validate_images,
         "nodes_find_all": _q_nodes_find_all,
         "css_select": _q_css_select,
+        "parts_by_brand": _q_parts_by_brand,
+        "supplier_balance_by_nation": _q_supplier_balance_by_nation,
+        "orders_by_month": _q_orders_by_month,
+        "events_value_histogram": _q_events_value_histogram,
+        "events_props_extract": _q_events_props_extract,
+        "customer_segments": _q_customer_segments,
+        "region_nation_counts": _q_region_nation_counts,
+        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
+        "events_user_daily": _q_events_user_daily,
     }
 
 
@@ -515,6 +639,67 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_norm,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY label
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(min(s_acctbal), 2) AS min_bal,
+                   round(max(s_acctbal), 2) AS max_bal,
+                   round(avg(s_acctbal), 2) AS avg_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_by_month": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                       AS month, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        """,
+        "events_value_histogram": """
+            SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY event_type, bucket
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   round(avg(CAST(regexp_extract(props, ':\\s*(\\d+)', 1)
+                                  AS BIGINT)), 4) AS avg_k,
+                   max(CAST(regexp_extract(props, ':\\s*(\\d+)', 1) AS BIGINT))
+                       AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "customer_segments": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "region_nation_counts": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_suppliers_per_nation": """
+            SELECT s_nationkey, s_suppkey, rk, round(s_acctbal, 2) AS acctbal
+            FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                       row_number() OVER (PARTITION BY s_nationkey
+                                          ORDER BY s_acctbal DESC, s_suppkey)
+                           AS rk
+                FROM supplier
+            ) WHERE rk <= 2
+        """,
+        "events_user_daily": """
+            SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY user_id, day
         """,
         "emb_knn_query0": """
             WITH q AS (

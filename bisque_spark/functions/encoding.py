@@ -119,6 +119,48 @@ def candidate_encodings(
     return stripped, order
 
 
+def detwingle(data: bytes) -> bytes:
+    """Fix Windows-1252 bytes embedded in UTF-8 (detection.py:729-794).
+
+    Walk the bytes: skip well-formed UTF-8 multibyte sequences (lead
+    bytes C2-DF/E0-EF/F0-F4), and re-encode any other high byte that is
+    a defined Windows-1252 character into its UTF-8 equivalent. The
+    translation table is derived from the codec itself rather than a
+    literal map (equivalent by construction: cp1252-undefined bytes are
+    left alone, exactly the reference's table gaps)."""
+    out: list[bytes] = []
+    chunk_start = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        byte = data[pos]
+        if 0xC2 <= byte <= 0xDF:
+            pos += 2
+        elif 0xE0 <= byte <= 0xEF:
+            pos += 3
+        elif 0xF0 <= byte <= 0xF4:
+            pos += 4
+        elif 0x80 <= byte <= 0xFE:
+            # 0xFF is absent from the reference's translation table
+            # (detection.py:595-727) even though cp1252 defines it —
+            # replicated for byte-parity
+            try:
+                translated = bytes([byte]).decode("windows-1252").encode("utf-8")
+            except UnicodeDecodeError:
+                pos += 1
+                continue
+            out.append(data[chunk_start:pos])
+            out.append(translated)
+            pos += 1
+            chunk_start = pos
+        else:
+            pos += 1
+    if chunk_start == 0:
+        return data
+    out.append(data[chunk_start:])
+    return b"".join(out)
+
+
 def decode_html(
     data: bytes,
     known_definite: tuple[str, ...] = (),

@@ -47,6 +47,22 @@ def test_differential_random_bytes(data):
     assert got_text == ref.unicode_markup
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_detwingle_differential(data):
+    from bisque_spark.functions.encoding import detwingle
+
+    assert detwingle(data) == UnicodeDammit.detwingle(data)
+
+
+def test_detwingle_snowmen():
+    from bisque_spark.functions.encoding import detwingle
+
+    doc = "☃☃☃".encode() + b"\x93I like snowmen!\x93"
+    fixed = detwingle(doc)
+    assert fixed.decode("utf-8") == "☃☃☃“I like snowmen!“"
+
+
 def test_bom():
     assert strip_bom(b"\xef\xbb\xbfabc") == (b"abc", "utf-8")
     assert strip_bom(b"\xff\xfea\x00") == (b"a\x00", "utf-16le")
