@@ -170,17 +170,21 @@ def decode_html(
     """bytes → (text, chosen encoding, had_replacement_characters)."""
     if isinstance(data, str):
         return data, None, False
-    if data == b"":
-        # reference quirk: the errors="replace" retry loop overwrites the
-        # successful '' decode with None (detection.py:314-327) — an empty
-        # document has no usable markup either way
-        return None, None, False
     stripped, order = candidate_encodings(data, known_definite, user, is_html)
     for enc in order:
         try:
-            return stripped.decode(enc), enc, False
+            text = stripped.decode(enc)
         except (UnicodeDecodeError, ValueError):
             continue
+        if text == "":
+            # reference quirk (detection.py:309-333): a successful decode
+            # to the EMPTY string is falsy, which sends UnicodeDammit into
+            # its errors="replace" retry loop — but the success already
+            # overwrote self.markup with the str, so every retry raises
+            # TypeError and the result is None. Happens for b"" and for
+            # escape/control-only inputs under codecs like iso-2022-*.
+            return None, None, False
+        return text, enc, False
     for enc in order:
         if enc == "ascii":
             continue

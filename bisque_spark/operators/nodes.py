@@ -221,6 +221,54 @@ def next_siblings_of(nodes: DataFrame, anchors: DataFrame) -> DataFrame:
     ).drop("a_url", "a_parent", "a_idx")
 
 
+def next_elements_of(
+    nodes: DataFrame, anchors: DataFrame, pred: Column | None = None, first_only: bool = False
+) -> DataFrame:
+    """find_all_next / find_next (page_element.py:452-491): document
+    order after the anchor = pos > anchor.pos, url-local."""
+    a = anchors.select(
+        F.col("url").alias("a_url"), F.col("pos").alias("anchor_pos")
+    )
+    out = nodes.join(
+        a,
+        (nodes["url"] == a["a_url"]) & (nodes["pos"] > a["anchor_pos"]),
+    ).drop("a_url")
+    if pred is not None:
+        out = out.where(pred)
+    if first_only:
+        w = Window.partitionBy("url", "anchor_pos").orderBy("pos")
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    return out
+
+
+def previous_elements_of(
+    nodes: DataFrame, anchors: DataFrame, pred: Column | None = None, first_only: bool = False
+) -> DataFrame:
+    """find_all_previous / find_previous (page_element.py:542-582):
+    document order before the anchor, nearest first."""
+    a = anchors.select(
+        F.col("url").alias("a_url"), F.col("pos").alias("anchor_pos")
+    )
+    out = nodes.join(
+        a,
+        (nodes["url"] == a["a_url"]) & (nodes["pos"] < a["anchor_pos"]),
+    ).drop("a_url")
+    if pred is not None:
+        out = out.where(pred)
+    if first_only:
+        w = Window.partitionBy("url", "anchor_pos").orderBy(F.desc("pos"))
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    return out
+
+
 def parents_of(nodes: DataFrame, anchors: DataFrame) -> DataFrame:
     """All ancestors of each anchor: a node is an ancestor iff
     pos < anchor.pos ≤ subtree_end (the document-order containment

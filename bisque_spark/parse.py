@@ -418,6 +418,79 @@ def serialize_nodes(nodes: list[dict]) -> str:
     return "".join(pieces)
 
 
+def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:
+    """Pretty-printed markup (Tag.decode(indent_level=True) parity,
+    tag.py:569-703): one element per line, children indented, text
+    stripped (empty → dropped), string-literal mode inside
+    whitespace-preserving tags (<pre>/<textarea>) where the subtree is
+    emitted inline."""
+    pieces: list[str] = []
+    open_stack: list[dict] = []
+    level = 0
+    literal_tag: dict | None = None
+
+    def emit(piece: str, is_string: bool):
+        nonlocal pieces
+        if literal_tag is not None:
+            pieces.append(piece)
+            return
+        if is_string:
+            piece = piece.strip()
+        if not piece:
+            return
+        pieces.append(indent * level + piece + "\n")
+
+    for node in nodes:
+        while open_stack and open_stack[-1]["subtree_end"] < node["pos"]:
+            closed = open_stack.pop()
+            level -= 1
+            if literal_tag is not None and closed["pos"] == literal_tag["pos"]:
+                literal_tag = None
+                pieces.append(f"</{closed['name']}>\n")
+            elif literal_tag is not None:
+                pieces.append(f"</{closed['name']}>")
+            else:
+                pieces.append(indent * level + f"</{closed['name']}>" + "\n")
+        kind = node["kind"]
+        if kind == "tag":
+            childless = node["subtree_end"] == node["pos"]
+            if childless and node["name"] in EMPTY_ELEMENT_TAGS:
+                emit(_open_tag(node, self_closing=True), is_string=False)
+            else:
+                # childless non-void tags still open/close on separate
+                # lines in pretty mode (START + END events)
+                if (
+                    literal_tag is None
+                    and node["name"] in PRESERVE_WHITESPACE_TAGS
+                ):
+                    # entering string-literal mode: whitespace before,
+                    # none after (tag.py:620-635)
+                    pieces.append(indent * level + _open_tag(node, False))
+                    literal_tag = node
+                else:
+                    emit(_open_tag(node, self_closing=False), is_string=False)
+                open_stack.append(node)
+                level += 1
+        elif kind in _STRING_WRAPPERS:
+            prefix, suffix = _STRING_WRAPPERS[kind]
+            emit(prefix + node["text"] + suffix, is_string=True)
+        elif kind in _CDATA_CONTAINING_KINDS:
+            emit(node["text"], is_string=True)
+        else:
+            emit(substitute_xml(node["text"]), is_string=True)
+    while open_stack:
+        closed = open_stack.pop()
+        level -= 1
+        if literal_tag is not None and closed["pos"] == literal_tag["pos"]:
+            literal_tag = None
+            pieces.append(f"</{closed['name']}>\n")
+        elif literal_tag is not None:
+            pieces.append(f"</{closed['name']}>")
+        else:
+            pieces.append(indent * level + f"</{closed['name']}>" + "\n")
+    return "".join(pieces)
+
+
 def interesting_kinds_for(tag_name: str | None) -> frozenset[str]:
     """Which string kinds get_text() collects under a given tag."""
     if tag_name in STRING_CONTAINERS:

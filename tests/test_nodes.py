@@ -95,6 +95,29 @@ def test_axes_match_reference(spark, nodes):
     assert sorted(r["name"] for r in pars) == ["div", "figure"]
 
 
+def test_document_order_axes(spark, nodes):
+    from bisque_spark.operators.nodes import (
+        next_elements_of,
+        previous_elements_of,
+    )
+
+    imgs = find_all(nodes, strainer("img"))
+    nxt = next_elements_of(nodes, imgs, pred=strainer("p"), first_only=True)
+    # reference: img.find_next('p') → the p.caption after the figure
+    soup = ref_soup(DOCS[0][1])
+    want = soup.find("img").find_next("p")
+    got = nxt.collect()
+    assert len(got) == 1 and got[0]["name"] == "p"
+    assert (got[0]["attrs"] or {}).get("class") == want.get("class", [""]) or (
+        got[0]["attrs"] or {}
+    ).get("class") == " ".join(want.get("class"))
+    prev = previous_elements_of(nodes, imgs, pred=strainer("p"), first_only=True)
+    want_prev = soup.find("img").find_previous("p")
+    got_prev = prev.collect()
+    assert len(got_prev) == 1
+    assert got_prev[0]["name"] == want_prev.name
+
+
 def test_get_text_matches_reference(spark, nodes):
     figs = find_all(nodes, strainer("figcaption"))
     out = get_text_of(nodes, figs).collect()

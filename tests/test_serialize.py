@@ -36,6 +36,20 @@ def test_serialize_byte_equal_reference():
     assert checked >= 20
 
 
+def test_prettify_byte_equal_reference():
+    from bisque_spark.parse import prettify_nodes
+
+    checked = 0
+    for doc in _docs() + ["<div><p>a <b>x</b></p><pre> keep  </pre><br/></div>"]:
+        try:
+            want = ref_soup(doc).prettify()
+        except Exception:
+            continue
+        assert prettify_nodes(parse_nodes(doc)) == want
+        checked += 1
+    assert checked >= 20
+
+
 def test_serialize_details():
     # attr sorting, quote selection, multi-valued join, void elements
     doc = """<img z="1" a='x "q" y' class="b  a"><p>&lt;tag&gt; &amp; more</p>"""
