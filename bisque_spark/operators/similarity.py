@@ -115,6 +115,68 @@ def lsh_bucket(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    sample_ids: list[int] | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: centroids = deterministic sample rows
+    (lowest ids — reproducible without kmeans iterations), assignment =
+    argmax cosine via one numpy matmul per Arrow batch. Returns
+    (df + cell column, centroids)."""
+    import numpy as np
+
+    from bisque_spark.util import spread
+
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in cent_rows]
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cmat.T).argmax(axis=1).astype(np.int32))
+
+    return spread(df).withColumn("cell", assign(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: search only the n_probe cells whose
+    centroids are nearest the query — the scan prunes to
+    ~n_probe/n_cells of the corpus (at scale: partition the table by
+    cell so pruning is partition pruning)."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(df, vec_col, id_col, n_cells)
+    cmat = np.array(centroids, dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    q = np.array(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe_cells = [int(c) for c in (cmat @ q).argsort()[::-1][:n_probe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    scored = assigned.where(F.col("cell").isin(probe_cells)).select(
+        F.col(id_col),
+        cosine_col(_vec_as_double(vec_col), qcol).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def lsh_near_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

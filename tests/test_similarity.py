@@ -45,6 +45,31 @@ def test_knn_join(spark, vecs):
     assert 0 in per_q[0]  # self is its own nearest neighbor
 
 
+def test_ivf_topk_high_recall(spark, vecs):
+    from bisque_spark.operators.similarity import ivf_topk
+
+    df, mat = vecs
+    q = list(mat[0])
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, k=5, n_cells=8, n_probe=4).collect()
+    ]
+    # the query vector itself must be found; recall@5 ≥ 3/5 with 4/8 probes
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_probe_prunes(spark, vecs):
+    from bisque_spark.operators.similarity import ivf_assign
+
+    df, _ = vecs
+    assigned, centroids = ivf_assign(df, n_cells=8)
+    assert len(centroids) == 8
+    cells = assigned.select("cell").distinct().count()
+    assert 1 < cells <= 8
+
+
 def test_lsh_finds_identical_vectors(spark, vecs):
     df, _ = vecs
     pairs = lsh_near_pairs(df, dim=16, n_bits=8, min_cosine=0.99)
