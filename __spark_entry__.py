@@ -491,6 +491,53 @@ def _q_events_user_daily(spark, sf_dir):
     )
 
 
+def _q_pricing_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_orders_status_cube(spark, sf_dir):
+    """CUBE over (status, priority)."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    """Anti-join / EXCEPT shape: customers with at most 2 orders
+    (includes the no-orders anti-join case)."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    joined = c.join(counts, c.c_custkey == counts.o_custkey, "left")
+    return joined.where(
+        F.coalesce(F.col("n"), F.lit(0)) <= 2
+    ).select("c_custkey", "c_mktsegment", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+
+
+def _q_active_users_both_types(spark, sf_dir):
+    """INTERSECT shape: users with both 'click' and 'view' events
+    (semi-join composition)."""
+    ev = _load(spark, sf_dir, "events")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    t1, t2 = sorted(types)[:2]
+    a = ev.where(F.col("event_type") == t1).select("user_id").distinct()
+    b = ev.where(F.col("event_type") == t2).select("user_id").distinct()
+    return a.intersect(b)
+
+
 def _q_css_select(spark, sf_dir):
     """CSS selector subset over synthesized pages (SURVEY §2.2 select).
     Oracle = hand-derived corpus + find_all cross-check
@@ -544,6 +591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_counts": _q_region_nation_counts,
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "events_user_daily": _q_events_user_daily,
+        "pricing_rollup": _q_pricing_rollup,
+        "orders_status_cube": _q_orders_status_cube,
+        "customers_without_orders": _q_customers_without_orders,
+        "active_users_both_types": _q_active_users_both_types,
     }
 
 
@@ -700,6 +751,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY user_id, day
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "orders_status_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment,
+                   coalesce(n, 0) AS n_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                       GROUP BY o_custkey) oc
+              ON c_custkey = oc.o_custkey
+            WHERE coalesce(n, 0) <= 2
+        """,
+        "active_users_both_types": """
+            WITH t AS (SELECT DISTINCT event_type FROM events
+                       ORDER BY event_type LIMIT 2)
+            SELECT user_id FROM events
+            WHERE event_type = (SELECT min(event_type) FROM t)
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = (SELECT max(event_type) FROM t)
         """,
         "emb_knn_query0": """
             WITH q AS (

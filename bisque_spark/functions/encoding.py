@@ -94,10 +94,12 @@ def candidate_encodings(
     known_definite: tuple[str, ...] = (),
     user: tuple[str, ...] = (),
     is_html: bool = True,
+    exclude: tuple[str, ...] = (),
 ) -> tuple[bytes, list[str]]:
     """(BOM-stripped bytes, ordered candidate encodings)."""
     stripped, sniffed = strip_bom(data)
-    tried: set[str] = set()
+    # excluded encodings are never tried (detection.py:99-113)
+    tried: set[str] = {e.lower() for e in exclude}
     order: list[str] = []
     for e in known_definite:
         if _usable(e, tried):
@@ -166,11 +168,14 @@ def decode_html(
     known_definite: tuple[str, ...] = (),
     user: tuple[str, ...] = (),
     is_html: bool = True,
+    exclude: tuple[str, ...] = (),
 ) -> tuple[str | None, str | None, bool]:
     """bytes → (text, chosen encoding, had_replacement_characters)."""
     if isinstance(data, str):
         return data, None, False
-    stripped, order = candidate_encodings(data, known_definite, user, is_html)
+    stripped, order = candidate_encodings(
+        data, known_definite, user, is_html, exclude
+    )
     for enc in order:
         try:
             text = stripped.decode(enc)

@@ -528,6 +528,25 @@ def get_text(
     return separator.join(parts)
 
 
+def string_of(nodes: list[dict], pos: int) -> str | None:
+    """bisque ``Tag.string`` (tag.py:266-294): the single string child,
+    recursing through single-child tags; None if there are zero or
+    multiple children."""
+    node = nodes[pos]
+    while True:
+        children = [
+            n
+            for n in nodes[node["pos"] + 1 : node["subtree_end"] + 1]
+            if n["parent_pos"] == node["pos"]
+        ]
+        if len(children) != 1:
+            return None
+        child = children[0]
+        if child["kind"] in STRING_KINDS:
+            return child["text"]
+        node = child
+
+
 def find_all(
     nodes: list[dict],
     name: str | None = None,

@@ -50,7 +50,7 @@ from bisque_spark.operators.schedule import (
     with_frontier_columns,
 )
 from bisque_spark.operators.seen import build_shards, filter_unseen, merge_shards
-from bisque_spark.synth import World, robots_rows
+from bisque_spark.synth import World
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "crawl_delay"]
 
@@ -99,9 +99,16 @@ def run_crawl(
     Output tables under ``workdir``: images/, order/, lineage/ plus
     per-epoch state snapshots for resume.
     """
+    from bisque_spark.functions.robots import fetch_robots
     from bisque_spark.functions.urlnorm import with_canonical
 
-    robots = spark.createDataFrame(robots_rows(world))
+    # robots table via the fetch+parse stage (functions/robots.py);
+    # round-trips to exactly robots_rows(world) — pinned by
+    # tests/test_robots.py — so the oracle contract is unchanged
+    hosts = spark.createDataFrame(
+        [(world.host(i),) for i in range(world.n_hosts)], "host string"
+    )
+    robots = fetch_robots(hosts, world).persist()
 
     start_epoch = 0
     frontier: DataFrame | None = None

@@ -63,6 +63,22 @@ def test_detwingle_snowmen():
     assert fixed.decode("utf-8") == "☃☃☃“I like snowmen!“"
 
 
+def test_known_definite_and_exclude_params():
+    data = "caf\xe9".encode("windows-1252")
+    # known-definite wins over everything
+    ref = UnicodeDammit(data, known_definite_encodings=["windows-1252"], is_html=True)
+    got, enc, _ = decode_html(data, known_definite=("windows-1252",))
+    assert got == ref.unicode_markup and enc == "windows-1252"
+    # excluding an encoding removes it from the chain
+    ref2 = UnicodeDammit(data, exclude_encodings=["utf-8"], is_html=True)
+    got2, _, _ = decode_html(data, exclude=("utf-8",))
+    assert got2 == ref2.unicode_markup
+    # user encodings tried after BOM sniffing
+    ref3 = UnicodeDammit(data, user_encodings=["latin-1"], is_html=True)
+    got3, _, _ = decode_html(data, user=("latin-1",))
+    assert got3 == ref3.unicode_markup
+
+
 def test_bom():
     assert strip_bom(b"\xef\xbb\xbfabc") == (b"abc", "utf-8")
     assert strip_bom(b"\xff\xfea\x00") == (b"a\x00", "utf-16le")

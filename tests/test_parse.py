@@ -102,6 +102,27 @@ def test_get_text_subtree_and_string_containers():
     assert "var s;" not in get_text(nodes)
 
 
+def test_string_property_matches_reference():
+    from bisque_spark.parse import string_of
+
+    docs = [
+        "<p>just text</p>",
+        "<p><b>nested single</b></p>",
+        "<p>two <b>children</b></p>",
+        "<p></p>",
+        "<p><b>a</b><i>b</i></p>",
+        "<td><p><b>deep</b></p></td>",
+    ]
+    for doc in docs:
+        nodes = parse_nodes(doc)
+        root = find_all(nodes, None)[0]
+        soup = ref_soup(doc)
+        first_tag = soup.find(True)
+        want = first_tag.string
+        got = string_of(nodes, root["pos"])
+        assert got == (str(want) if want is not None else None), doc
+
+
 def test_find_all_multivalued_class():
     doc = '<p class="caption wide">a</p><p class="wide">b</p><p>c</p>'
     nodes = parse_nodes(doc)
