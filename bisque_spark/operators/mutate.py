@@ -98,6 +98,130 @@ def smooth(nodes: list[dict]) -> list[dict]:
     return out
 
 
+# ---- structural inserts (rebuild-and-renumber) -------------------------------
+#
+# insert/append/wrap splice NEW nodes between existing positions. The
+# reference repairs four pointer axes in place (page_element.py:
+# 296-450); on a flat table the equivalent is: lift to a nested tree,
+# splice children lists, flatten back with fresh pos/parent_pos/
+# sibling_idx/subtree_end/depth. O(n) per document, done inside the
+# same per-document UDF slot as parsing.
+
+
+def _to_tree(nodes: list[dict]) -> list[dict]:
+    roots: list[dict] = []
+    by_pos: dict[int, dict] = {}
+    for n in nodes:
+        copy = {**n, "children": []}
+        by_pos[n["pos"]] = copy
+        if n["parent_pos"] in by_pos:
+            by_pos[n["parent_pos"]]["children"].append(copy)
+        else:
+            roots.append(copy)
+    return roots
+
+
+def _flatten(roots: list[dict]) -> list[dict]:
+    out: list[dict] = []
+
+    def walk(node: dict, parent_pos: int, depth: int, sibling_idx: int) -> int:
+        pos = len(out)
+        rec = {k: v for k, v in node.items() if k != "children"}
+        rec.update(
+            pos=pos, parent_pos=parent_pos, depth=depth, sibling_idx=sibling_idx
+        )
+        out.append(rec)
+        for i, child in enumerate(node["children"]):
+            walk(child, pos, depth + 1, i)
+        rec["subtree_end"] = len(out) - 1
+        return pos
+
+    for i, root in enumerate(roots):
+        walk(root, -1, 0, i)
+    return out
+
+
+def new_tag(name: str, attrs: dict | None = None) -> dict:
+    return {
+        "pos": -1,
+        "parent_pos": -1,
+        "depth": 0,
+        "sibling_idx": 0,
+        "subtree_end": -1,
+        "kind": "tag",
+        "name": name,
+        "attrs": dict(attrs or {}),
+        "text": None,
+        "sourceline": None,
+        "sourcepos": None,
+        "children": [],
+    }
+
+
+def new_string(text: str) -> dict:
+    return {
+        "pos": -1,
+        "parent_pos": -1,
+        "depth": 0,
+        "sibling_idx": 0,
+        "subtree_end": -1,
+        "kind": "text",
+        "name": None,
+        "attrs": None,
+        "text": text,
+        "sourceline": None,
+        "sourcepos": None,
+        "children": [],
+    }
+
+
+def _find_in_tree(roots: list[dict], pos: int):
+    stack = [(None, i, r) for i, r in enumerate(roots)]
+    while stack:
+        parent, idx, node = stack.pop()
+        if node["pos"] == pos:
+            return parent, idx, node
+        for i, c in enumerate(node["children"]):
+            stack.append((node, i, c))
+    raise KeyError(pos)
+
+
+def insert_node(nodes: list[dict], parent_pos: int, index: int, new: dict) -> list[dict]:
+    """``parent.insert(index, new)`` (page_element.py:296-404)."""
+    roots = _to_tree(nodes)
+    _, _, parent = _find_in_tree(roots, parent_pos)
+    parent["children"].insert(index, new)
+    return _flatten(roots)
+
+
+def insert_before(nodes: list[dict], pos: int, new: dict) -> list[dict]:
+    roots = _to_tree(nodes)
+    parent, idx, _ = _find_in_tree(roots, pos)
+    siblings = parent["children"] if parent is not None else roots
+    siblings.insert(idx, new)
+    return _flatten(roots)
+
+
+def insert_after(nodes: list[dict], pos: int, new: dict) -> list[dict]:
+    roots = _to_tree(nodes)
+    parent, idx, _ = _find_in_tree(roots, pos)
+    siblings = parent["children"] if parent is not None else roots
+    siblings.insert(idx + 1, new)
+    return _flatten(roots)
+
+
+def wrap_node(nodes: list[dict], pos: int, wrapper: dict) -> list[dict]:
+    """``el.wrap(tag)`` (page_element.py:205-233)."""
+    roots = _to_tree(nodes)
+    parent, idx, node = _find_in_tree(roots, pos)
+    wrapper = {**wrapper, "children": [node]}
+    if parent is not None:
+        parent["children"][idx] = wrapper
+    else:
+        roots[idx] = wrapper
+    return _flatten(roots)
+
+
 def _index_of(nodes: list[dict], pos: int) -> int:
     for i, n in enumerate(nodes):
         if n["pos"] == pos:

@@ -575,6 +575,16 @@ def find_all(
             ok = True
             for k, want in attrs.items():
                 have = (node["attrs"] or {}).get(k)
+                if want is True:
+                    if have is None:
+                        ok = False
+                        break
+                    continue
+                if want is None:
+                    if have is not None:
+                        ok = False
+                        break
+                    continue
                 if have is None:
                     ok = False
                     break

@@ -64,6 +64,56 @@ def write_images_stream(
     return writer.start()
 
 
+def dedup_urls_stream(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Custom stateful streaming operator: continuous URL-seen dedup.
+
+    The streaming twin of operators/seen.py — state is one seen-hash
+    set per hash bucket, held by the streaming state store
+    (``applyInPandasWithState``), so the dedup survives micro-batches
+    and restarts via the checkpoint. Emits each canonical URL exactly
+    once across the stream's lifetime.
+
+    Input must have a ``url`` column (canonical). Keyed by
+    pmod(xxhash64(url), n_buckets) — the same sharding as the batch
+    Bloom table, so state size per key is bounded and parallel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = urls.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    ).groupBy("bucket")
+
+    def dedup(key, pdf_iter, state):
+        seen = (
+            np.frombuffer(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        seen_set = set(seen.tolist())
+        out_urls, out_hashes = [], []
+        for pdf in pdf_iter:
+            for url, h in zip(pdf["url"], pdf["url_hash"]):
+                h = int(h)
+                if h not in seen_set:
+                    seen_set.add(h)
+                    out_urls.append(url)
+                    out_hashes.append(h)
+        state.update((np.array(sorted(seen_set), dtype=np.int64).tobytes(),))
+        yield pd.DataFrame({"url": out_urls, "url_hash": out_hashes})
+
+    return keyed.applyInPandasWithState(
+        dedup,
+        outputStructType="url string, url_hash long",
+        stateStructType="seen binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def host_throughput_stream(pages: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked windowed aggregation: fetched pages per host per
     window (late rows beyond 2 minutes dropped)."""

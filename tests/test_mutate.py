@@ -71,6 +71,59 @@ def test_smooth_matches_reference():
     assert [t["text"] for t in texts] == ["ac", "d"]
 
 
+def test_insert_and_wrap_match_reference():
+    from bisque_spark.operators.mutate import (
+        insert_after,
+        insert_before,
+        insert_node,
+        new_string,
+        new_tag,
+        wrap_node,
+    )
+
+    doc = "<div><p>one</p><p>two</p></div>"
+
+    # insert a new tag at child index 1
+    nodes = parse_nodes(doc)
+    div = find_all(nodes, "div")[0]
+    tag = new_tag("hr")
+    got = serialize_nodes(insert_node(nodes, div["pos"], 1, tag))
+    soup = ref_soup(doc)
+    soup.find("div").insert(1, soup.new_tag("hr"))
+    assert got == soup.decode()
+
+    # insert_before / insert_after a string
+    nodes = parse_nodes(doc)
+    p2 = find_all(nodes, "p")[1]
+    got = serialize_nodes(insert_before(nodes, p2["pos"], new_string("MID")))
+    soup = ref_soup(doc)
+    soup.find_all("p")[1].insert_before("MID")
+    assert got == soup.decode()
+
+    nodes = parse_nodes(doc)
+    p1 = find_all(nodes, "p")[0]
+    got = serialize_nodes(insert_after(nodes, p1["pos"], new_string("AFTER")))
+    soup = ref_soup(doc)
+    soup.find_all("p")[0].insert_after("AFTER")
+    assert got == soup.decode()
+
+    # wrap
+    nodes = parse_nodes(doc)
+    p1 = find_all(nodes, "p")[0]
+    got = serialize_nodes(wrap_node(nodes, p1["pos"], new_tag("section", {"id": "s1"})))
+    soup = ref_soup(doc)
+    wrapper = soup.new_tag("section")
+    wrapper["id"] = "s1"
+    soup.find("p").wrap(wrapper)
+    assert got == soup.decode()
+
+    # axes stay consistent after renumbering
+    nodes2 = insert_node(parse_nodes(doc), div["pos"], 1, new_tag("hr"))
+    assert [n["pos"] for n in nodes2] == list(range(len(nodes2)))
+    for n in nodes2:
+        assert n["subtree_end"] >= n["pos"]
+
+
 def test_smooth_df_merges_runs(spark):
     doc = "<p>a<b>x</b>c</p>"
     nodes = parse_nodes(doc)

@@ -87,6 +87,43 @@ def test_get_text_byte_equal():
         )
 
 
+def test_find_all_strainer_sweep_vs_reference():
+    """Sweep strainer shapes over the corpus: results must match the
+    reference find_all node-for-node (name, attrs, text)."""
+    import re as _re
+
+    from bisque_spark.parse import get_text
+
+    strainers = [
+        dict(name="p"),
+        dict(name="div"),
+        dict(name="a", attrs={"href": True}),
+        dict(name=None, attrs={"class": True}),
+        dict(name="p", attrs={"class": "caption"}),
+        dict(name="table"),
+        dict(name="li"),
+    ]
+    for doc in _ref_docs():
+        try:
+            soup = ref_soup(doc)
+        except Exception:
+            continue
+        nodes = parse_nodes(doc)
+        for s in strainers:
+            name = s.get("name")
+            attrs = s.get("attrs") or {}
+            # reference call
+            ref_kwargs = {}
+            for k, v in attrs.items():
+                ref_kwargs[k] = v
+            want = soup.find_all(name if name is not None else True, **ref_kwargs)
+            got = find_all(nodes, name, attrs or None)
+            assert len(got) == len(want), (s, doc[:40])
+            for g, w in zip(got, want):
+                assert g["name"] == w.name
+                assert get_text(nodes, g["pos"]) == w.get_text()
+
+
 def test_get_text_subtree_and_string_containers():
     doc = (
         "<div><script>var s;</script><p>a b</p>"

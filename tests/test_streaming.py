@@ -91,6 +91,48 @@ def test_stream_matches_batch_extraction(spark, dirs):
     assert got == want
 
 
+def test_stateful_url_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: a URL re-sent in a later
+    micro-batch must not be emitted twice."""
+    from bisque_spark.streaming.ingest import dedup_urls_stream
+
+    src = str(tmp_path / "urls")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def write_batch(urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("url string").parquet(src)
+        q = (
+            dedup_urls_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(["http://a.test/1", "http://a.test/2", "http://b.test/1"])
+    drain()
+    first = {r["url"] for r in spark.read.parquet(sink).collect()}
+    assert first == {"http://a.test/1", "http://a.test/2", "http://b.test/1"}
+
+    # second batch: one repeat + one new
+    write_batch(["http://a.test/1", "http://c.test/9"])
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    urls = [r["url"] for r in rows]
+    assert sorted(urls) == sorted(set(urls))  # no duplicates ever emitted
+    assert "http://c.test/9" in urls
+    assert len(urls) == 4
+
+
 def test_windowed_host_throughput(spark, dirs):
     stream = read_pages_stream(spark, dirs["pages"])
     agg = host_throughput_stream(stream)
