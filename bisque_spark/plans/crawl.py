@@ -71,6 +71,19 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _read_seen_union(spark: SparkSession, workdir: str, last: int) -> DataFrame:
+    """seen_exact = union of per-epoch deltas (append-only: the seen set
+    is written as O(new URLs) per epoch, never rewritten — at 10^10
+    URLs a full rewrite per epoch would dominate the job)."""
+    paths = [os.path.join(workdir, "seen_seed")]
+    paths += [
+        os.path.join(_epoch_dir(workdir, e), "seen_delta")
+        for e in range(last + 1)
+    ]
+    existing = [p for p in paths if os.path.exists(p)]
+    return spark.read.parquet(*existing)
+
+
 def latest_complete_epoch(workdir: str) -> int | None:
     """Highest epoch with a commit marker (atomic: written last)."""
     best = None
@@ -125,7 +138,7 @@ def run_crawl(
                 if os.path.exists(frontier_path)
                 else None
             )
-            seen_exact = spark.read.parquet(os.path.join(d, "seen_exact"))
+            seen_exact = _read_seen_union(spark, workdir, last)
             shards = spark.read.parquet(os.path.join(d, "shards"))
             start_epoch = last + 1
     elif os.path.isdir(workdir):
@@ -140,6 +153,8 @@ def run_crawl(
         seeded = apply_robots(seeded, robots)
         frontier = seeded.select(*FRONTIER_COLS)
         seen_exact = frontier.select("url_hash")
+        _write(seen_exact, os.path.join(workdir, "seen_seed"))
+        seen_exact = spark.read.parquet(os.path.join(workdir, "seen_seed"))
         shards = build_shards(seen_exact, n_buckets=n_buckets)
 
     epoch = start_epoch
@@ -210,7 +225,6 @@ def run_crawl(
 
         next_frontier = deferred.select(*FRONTIER_COLS).unionByName(new_urls)
         new_hashes = new_urls.select("url_hash")
-        next_seen = seen_exact.unionByName(new_hashes)
         next_shards = merge_shards(
             shards, build_shards(new_hashes, n_buckets=n_buckets)
         )
@@ -223,8 +237,9 @@ def run_crawl(
         t = _tick("write order", t)
         _write(next_frontier, os.path.join(d, "frontier"))
         t = _tick("write frontier (links+dedup)", t)
-        _write(next_seen, os.path.join(d, "seen_exact"))
-        t = _tick("write seen_exact", t)
+        # seen set is append-only: O(new URLs) delta per epoch
+        _write(new_hashes, os.path.join(d, "seen_delta"))
+        t = _tick("write seen_delta", t)
         _write(next_shards, os.path.join(d, "shards"))
         t = _tick("write shards", t)
         lineage = {
@@ -247,7 +262,7 @@ def run_crawl(
         # read the committed state back: cuts lineage growth across the
         # iterative loop and makes resume = continue exactly
         frontier = spark.read.parquet(os.path.join(d, "frontier"))
-        seen_exact = spark.read.parquet(os.path.join(d, "seen_exact"))
+        seen_exact = _read_seen_union(spark, workdir, epoch)
         shards = spark.read.parquet(os.path.join(d, "shards"))
         epoch += 1
 
@@ -277,6 +292,4 @@ def read_images(spark: SparkSession, result: dict) -> DataFrame:
 
 def read_seen(spark: SparkSession, result: dict) -> DataFrame:
     last = latest_complete_epoch(result["workdir"])
-    return spark.read.parquet(
-        os.path.join(_epoch_dir(result["workdir"], last), "seen_exact")
-    )
+    return _read_seen_union(spark, result["workdir"], last)
