@@ -538,6 +538,31 @@ def _q_active_users_both_types(spark, sf_dir):
     return a.intersect(b)
 
 
+def _q_events_asof_join(spark, sf_dir):
+    """As-of join: each event of the first type gets the most recent
+    prior-or-equal event value of the second type for the same user."""
+    from bisque_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )[:2]
+    left = ev.where(F.col("event_type") == types[0]).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = ev.where(F.col("event_type") == types[1]).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("rv"),
+    )
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["rv"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("rv_right", 6).alias("prev_value"),
+    )
+
+
 def _q_css_select(spark, sf_dir):
     """CSS selector subset over synthesized pages (SURVEY §2.2 select).
     Oracle = hand-derived corpus + find_all cross-check
@@ -591,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_counts": _q_region_nation_counts,
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "events_user_daily": _q_events_user_daily,
+        "events_asof_join": _q_events_asof_join,
         "pricing_rollup": _q_pricing_rollup,
         "orders_status_cube": _q_orders_status_cube,
         "customers_without_orders": _q_customers_without_orders,
@@ -751,6 +777,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY user_id, day
+        """,
+        "events_asof_join": """
+            WITH tt AS (
+                SELECT DISTINCT event_type FROM events
+                ORDER BY event_type LIMIT 2
+            ),
+            a AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = (SELECT min(event_type) FROM tt)),
+            b AS (SELECT user_id, ts, value AS rv FROM events
+                  WHERE event_type = (SELECT max(event_type) FROM tt))
+            SELECT a.event_id, a.user_id, round(b.rv, 6) AS prev_value
+            FROM a ASOF LEFT JOIN b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -230,18 +230,27 @@ def run_crawl(
         )
 
         # ---- commit epoch state ------------------------------------------
+        # the five state tables are independent → submit their write
+        # jobs concurrently (Spark schedules jobs from multiple driver
+        # threads; FIFO within the shared pool). The _COMMIT marker is
+        # only written after ALL writes return, so atomicity of the
+        # epoch commit is unchanged.
         d = _epoch_dir(workdir, epoch)
-        _write(images, os.path.join(d, "images"))
-        t = _tick("write images", t)
-        _write(order_log, os.path.join(d, "order"))
-        t = _tick("write order", t)
-        _write(next_frontier, os.path.join(d, "frontier"))
-        t = _tick("write frontier (links+dedup)", t)
-        # seen set is append-only: O(new URLs) delta per epoch
-        _write(new_hashes, os.path.join(d, "seen_delta"))
-        t = _tick("write seen_delta", t)
-        _write(next_shards, os.path.join(d, "shards"))
-        t = _tick("write shards", t)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (images, os.path.join(d, "images")),
+            (order_log, os.path.join(d, "order")),
+            (next_frontier, os.path.join(d, "frontier")),
+            # seen set is append-only: O(new URLs) delta per epoch
+            (new_hashes, os.path.join(d, "seen_delta")),
+            (next_shards, os.path.join(d, "shards")),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futures = [pool.submit(_write, df, path) for df, path in writes]
+            for f in futures:
+                f.result()
+        t = _tick("write epoch state (5 tables, concurrent)", t)
         lineage = {
             "epoch": epoch,
             "rows_scheduled": rows_scheduled,

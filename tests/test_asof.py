@@ -1,0 +1,58 @@
+"""As-of join vs pandas merge_asof (the reference semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from bisque_spark.operators.asof import asof_join
+
+
+def _data():
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 5, 60),
+            "ts": rng.randint(0, 1000, 60).astype("float64"),
+            "lvalue": rng.random(60).round(3),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    right = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 5, 40),
+            "ts": rng.randint(0, 1000, 40).astype("float64"),
+            "rvalue": rng.random(40).round(3),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    return left, right
+
+
+def test_asof_matches_pandas(spark):
+    left, right = _data()
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        suffixes=("", "_right"),
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["rvalue"])
+    got_map = {
+        (r["user_id"], r["ts"]): (r["rvalue_right"], r["ts_right"])
+        for r in got.collect()
+    }
+    for _, row in want.iterrows():
+        g_val, _g_ts = got_map[(row["user_id"], row["ts"])]
+        if pd.isna(row["rvalue"]):
+            assert g_val is None, row
+        else:
+            assert g_val is not None and abs(g_val - row["rvalue"]) < 1e-12, row
+
+
+def test_asof_inclusive_tie(spark):
+    ldf = spark.createDataFrame([(1, 10.0, "L")], "user_id int, ts double, l string")
+    rdf = spark.createDataFrame([(1, 10.0, "R")], "user_id int, ts double, r string")
+    got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["r"]).first()
+    assert got["r_right"] == "R"  # equal timestamp matches (inclusive)
