@@ -149,7 +149,7 @@ SCALING_URLS_PER_CORE = 15_000  # weak scaling: work grows with cores
 SCALING_N = (2, 8)
 
 
-def _fetch_extract_only(cpus: int, repeats: int = 2) -> dict:
+def _fetch_extract_only(cpus: int, repeats: int = 3) -> dict:
     """Subprocess entry: steady-state fetch+decode+parse+extract
     throughput (the stage where 10^10-scale wall time actually goes) at
     a given parallelism, after JVM/python-worker warmup.
