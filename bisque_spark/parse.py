@@ -125,11 +125,16 @@ def is_cdata_list_attr(tag_name: str, attr_name: str) -> bool:
 class _NodeCollector(HTMLParser):
     """stdlib HTMLParser → flat node records, bisque tag-stack semantics."""
 
-    def __init__(self, original_encoding: str | None = None):
+    def __init__(
+        self,
+        original_encoding: str | None = None,
+        on_duplicate_attribute: str = "replace",
+    ):
         # convert_charrefs=False: entities are decoded by our handlers
         # with the reference's <256-codepoint compensation.
         super().__init__(convert_charrefs=False)
         self.original_encoding = original_encoding
+        self.on_duplicate_attribute = on_duplicate_attribute
         self.nodes: list[dict] = []
         # stack entries: [node_pos, name, child_count] ; root sentinel pos=-1
         self.stack: list[list] = [[-1, "[document]", 0]]
@@ -186,8 +191,10 @@ class _NodeCollector(HTMLParser):
         for key, value in attrs:
             if value is None:
                 value = ""
-            # duplicate attribute: REPLACE (the reference's default,
-            # parser.py:94-106)
+            # duplicate attribute strategies (parser.py:94-106):
+            # "replace" (default) keeps the last value, "ignore" the first
+            if key in attr_dict and self.on_duplicate_attribute == "ignore":
+                continue
             attr_dict[key] = value
         parent = self.stack[-1]
         pos = len(self.nodes)
@@ -313,9 +320,16 @@ class _NodeCollector(HTMLParser):
             self._pop_tag()
 
 
-def parse_nodes(markup: str, original_encoding: str | None = None) -> list[dict]:
+def parse_nodes(
+    markup: str,
+    original_encoding: str | None = None,
+    on_duplicate_attribute: str = "replace",
+) -> list[dict]:
     """Parse HTML text into a flat, document-ordered node list."""
-    collector = _NodeCollector(original_encoding=original_encoding)
+    collector = _NodeCollector(
+        original_encoding=original_encoding,
+        on_duplicate_attribute=on_duplicate_attribute,
+    )
     try:
         collector.feed(markup)
         collector.close()
@@ -416,6 +430,14 @@ def serialize_nodes(nodes: list[dict]) -> str:
     while open_stack:
         pieces.append(f"</{open_stack.pop()['name']}>")
     return "".join(pieces)
+
+
+def serialize_contents(nodes: list[dict], root_pos: int) -> str:
+    """``Tag.decode_contents()`` (tag.py:812-866): children only, no
+    enclosing tag markup."""
+    root = nodes[root_pos]
+    inner = nodes[root_pos + 1 : root["subtree_end"] + 1]
+    return serialize_nodes(inner)
 
 
 def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:

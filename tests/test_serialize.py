@@ -50,6 +50,35 @@ def test_prettify_byte_equal_reference():
     assert checked >= 20
 
 
+def test_decode_contents_matches_reference():
+    from bisque_spark.parse import find_all, serialize_contents
+
+    doc = '<div id="x"><p>a</p><b>c</b></div><div>other</div>'
+    nodes = parse_nodes(doc)
+    div = find_all(nodes, "div")[0]
+    want = ref_soup(doc).find("div").decode_contents()
+    assert serialize_contents(nodes, div["pos"]) == want
+
+
+def test_on_duplicate_attribute_matches_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    doc = '<a href="first" href="second">x</a>'
+    for strategy in ("replace", "ignore"):
+        soup = Bisque(
+            doc, features="html.parser", on_duplicate_attribute=strategy
+        )
+        want = soup.find("a")["href"]
+        nodes = parse_nodes(doc, on_duplicate_attribute=strategy)
+        from bisque_spark.parse import find_all
+
+        got = find_all(nodes, "a")[0]["attrs"]["href"]
+        assert got == want, strategy
+
+
 def test_serialize_details():
     # attr sorting, quote selection, multi-valued join, void elements
     doc = """<img z="1" a='x "q" y' class="b  a"><p>&lt;tag&gt; &amp; more</p>"""
