@@ -569,19 +569,48 @@ def string_of(nodes: list[dict], pos: int) -> str | None:
         node = child
 
 
+def _match_string_value(have: str | None, want) -> bool:
+    """SoupStrainer string-value matching subset: str exact, regex
+    .search, True non-None (soup_strainer.py:214-288)."""
+    if want is True:
+        return have is not None
+    if have is None:
+        return False
+    if isinstance(want, re.Pattern):
+        return want.search(have) is not None
+    return have == want
+
+
 def find_all(
     nodes: list[dict],
     name: str | None = None,
     attrs: dict | None = None,
     root_pos: int | None = None,
     limit: int | None = None,
+    string=None,
 ) -> list[dict]:
     """Minimal strainer: scan descendants for tags matching name/attrs.
 
     Attr values match exactly, with multi-valued attributes matching if
     any element (or the whole space-joined string) equals the wanted
-    value (soup_strainer.py:214-288).
+    value (soup_strainer.py:214-288). With ``string=`` and a name, the
+    tag also requires its single-string child to match (the reference's
+    string co-filter, soup_strainer.py:167-173); with ``string=`` alone,
+    string nodes are matched instead.
     """
+    if string is not None and name is None and not attrs:
+        out = []
+        lo, hi = (-1, len(nodes) - 1) if root_pos is None else (
+            nodes[root_pos]["pos"], nodes[root_pos]["subtree_end"]
+        )
+        for node in nodes[lo + 1 : hi + 1]:
+            if node["kind"] in ("text", "cdata") and _match_string_value(
+                node["text"], string
+            ):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
     if root_pos is None:
         lo, hi = -1, len(nodes) - 1
     else:
@@ -591,7 +620,7 @@ def find_all(
     for node in nodes[lo + 1 : hi + 1]:
         if node["kind"] != "tag":
             continue
-        if name is not None and node["name"] != name:
+        if name is not None and name is not True and node["name"] != name:
             continue
         if attrs:
             ok = True
@@ -620,6 +649,10 @@ def find_all(
                     break
             if not ok:
                 continue
+        if string is not None and not _match_string_value(
+            string_of(nodes, node["pos"]), string
+        ):
+            continue
         out.append(node)
         if limit is not None and len(out) >= limit:
             break

@@ -124,6 +124,25 @@ def test_find_all_strainer_sweep_vs_reference():
                 assert get_text(nodes, g["pos"]) == w.get_text()
 
 
+def test_string_cofilter_matches_reference():
+    import re as _re
+
+    doc = "<div><p>alpha</p><p>beta</p><b>alpha</b><p>alpha <i>x</i></p></div>"
+    soup = ref_soup(doc)
+    nodes = parse_nodes(doc)
+    # tag + string co-filter (single-string child semantics)
+    assert [n["name"] for n in find_all(nodes, "p", string="alpha")] == [
+        t.name for t in soup.find_all("p", string="alpha")
+    ]
+    assert [n["name"] for n in find_all(nodes, True, string=_re.compile("a"))] == [
+        t.name for t in soup.find_all(True, string=_re.compile("a"))
+    ]
+    # string-only search returns string nodes
+    assert [n["text"] for n in find_all(nodes, string=_re.compile("alp"))] == [
+        str(s) for s in soup.find_all(string=_re.compile("alp"))
+    ]
+
+
 def test_get_text_subtree_and_string_containers():
     doc = (
         "<div><script>var s;</script><p>a b</p>"
