@@ -538,6 +538,51 @@ def _q_active_users_both_types(spark, sf_dir):
     return a.intersect(b)
 
 
+def _q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding stats (array element access)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cols = []
+    for d in (1, 2, 32, 64):
+        cols.append(
+            F.round(
+                F.avg(F.element_at("embedding", d).cast("double")), 4
+            ).alias(f"avg_d{d}")
+        )
+    return emb.groupBy("label").agg(*cols)
+
+
+def _q_serialize_roundtrip(spark, sf_dir):
+    """Parse → serialize fixpoint over synthesized pages (the reference
+    harness's own round-trip invariant as a batch column). Oracle =
+    byte-equality tests vs the reference (tests/test_serialize.py);
+    rows-only here."""
+    import pandas as pd
+
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="w  x"><p>'),
+            F.substring("text", 1, 100),
+            F.lit(" &amp; tail</p><br><pre> k </pre></div>"),
+        ).alias("html"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, fixpoint = [], []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                once = serialize_nodes(parse_nodes(html))
+                twice = serialize_nodes(parse_nodes(once))
+                ids.append(doc_id)
+                fixpoint.append(once == twice)
+            yield pd.DataFrame({"doc_id": ids, "fixpoint": fixpoint})
+
+    return pages.mapInPandas(run, schema="doc_id long, fixpoint boolean")
+
+
 def _q_events_asof_join(spark, sf_dir):
     """As-of join: each event of the first type gets the most recent
     prior-or-equal event value of the second type for the same user."""
@@ -617,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "events_user_daily": _q_events_user_daily,
         "events_asof_join": _q_events_asof_join,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "serialize_roundtrip": _q_serialize_roundtrip,
         "pricing_rollup": _q_pricing_rollup,
         "orders_status_cube": _q_orders_status_cube,
         "customers_without_orders": _q_customers_without_orders,
@@ -777,6 +824,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY user_id, day
+        """,
+        "emb_dim_stats": """
+            SELECT label,
+                   round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_d1,
+                   round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS avg_d2,
+                   round(avg(CAST(embedding[32] AS DOUBLE)), 4) AS avg_d32,
+                   round(avg(CAST(embedding[64] AS DOUBLE)), 4) AS avg_d64
+            FROM embeddings GROUP BY label
         """,
         "events_asof_join": """
             WITH tt AS (

@@ -107,6 +107,98 @@ def image_thumbnails(images: DataFrame, target: int = 8) -> DataFrame:
     )
 
 
+# ---- audio / video columns ----------------------------------------------
+#
+# Same opaque-binary + typed-metadata pattern as images. Audio: raw
+# s16le PCM is decodable in-sandbox (numpy); compressed codecs and all
+# video codecs raise NotImplementedError per row → error column (the
+# Spark plumbing — schema, batching, partitioning — is real; the codec
+# is the stubbed part, per the task brief).
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, fmt string, sample_rate int, duration_s double, "
+    "rms double, peak double, error string"
+)
+
+
+def synth_audio(media_id: str, sample_rate: int = 8000) -> dict:
+    """Deterministic s16le PCM clip derived from the id."""
+    import numpy as np
+
+    from bisque_spark.hashing import xxh64
+
+    rng_seed = xxh64(("audio:" + media_id).encode()) % (2**32)
+    rng = np.random.RandomState(rng_seed)
+    n = int(sample_rate * (0.1 + (rng_seed % 20) / 100))  # 0.1-0.3 s
+    wave = (rng.standard_normal(n) * 3000).astype(np.int16)
+    return {
+        "bytes": wave.tobytes(),
+        "fmt": "pcm_s16le",
+        "sample_rate": sample_rate,
+    }
+
+
+def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "media_id": [], "fmt": [], "sample_rate": [],
+            "duration_s": [], "rms": [], "peak": [], "error": [],
+        }
+        for media_id, data, fmt, sr in zip(
+            pdf["media_id"], pdf["bytes"], pdf["fmt"], pdf["sample_rate"]
+        ):
+            err = None
+            dur = rms = peak = None
+            try:
+                if fmt != "pcm_s16le":
+                    raise NotImplementedError(fmt)
+                wave = np.frombuffer(bytes(data), dtype=np.int16)
+                dur = float(len(wave) / int(sr))
+                f = wave.astype(np.float64)
+                rms = float(np.sqrt((f * f).mean())) if len(f) else 0.0
+                peak = float(np.abs(f).max()) if len(f) else 0.0
+            except NotImplementedError:
+                err = f"codec_unavailable:{fmt}"
+            except Exception as exc:  # noqa: BLE001
+                err = f"decode_error:{type(exc).__name__}"
+            out["media_id"].append(media_id)
+            out["fmt"].append(fmt)
+            out["sample_rate"].append(int(sr))
+            out["duration_s"].append(dur)
+            out["rms"].append(rms)
+            out["peak"].append(peak)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    return media.select("media_id", "bytes", "fmt", "sample_rate").mapInPandas(
+        audio_features_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stage: the Spark plumbing (schema, batch
+    shape) with the decoder stubbed — no video codec ships in the
+    sandbox, so every row reports codec_unavailable (by design)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frames": [None] * len(pdf),
+                    "error": [
+                        f"codec_unavailable:{fmt}" for fmt in pdf["fmt"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        run, schema="media_id string, frames array<binary>, error string"
+    )
+
+
 def phash_near_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Perceptual-hash near-dup pairs via banded 64-bit keys (same
     shape as simhash dedup) — JVM-side except nothing."""

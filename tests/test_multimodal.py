@@ -57,6 +57,43 @@ def test_unknown_codec_contained(spark):
     assert r["mean_r"] is None
 
 
+def test_audio_features(spark):
+    from bisque_spark.operators.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    rows = []
+    for i in range(10):
+        a = synth_audio(f"aud-{i}")
+        rows.append((f"aud-{i}", a["bytes"], a["fmt"], a["sample_rate"]))
+    # one corrupted-codec row
+    rows.append(("aud-bad", b"\x00\x01", "mp3", 44100))
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, fmt string, sample_rate int"
+    )
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    ok = [r for mid, r in out.items() if mid != "aud-bad"]
+    assert all(r["error"] is None for r in ok)
+    # numpy oracle for one clip
+    a = synth_audio("aud-0")
+    wave = np.frombuffer(a["bytes"], dtype=np.int16).astype(np.float64)
+    assert abs(out["aud-0"]["rms"] - np.sqrt((wave * wave).mean())) < 1e-9
+    assert abs(out["aud-0"]["duration_s"] - len(wave) / 8000) < 1e-12
+    assert out["aud-bad"]["error"] == "codec_unavailable:mp3"
+
+
+def test_video_stub_contained(spark):
+    from bisque_spark.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame(
+        [("v1", b"\x00", "h264")], "media_id string, bytes binary, fmt string"
+    )
+    r = video_frame_sample(df).first()
+    assert r["error"] == "codec_unavailable:h264"
+    assert r["frames"] is None
+
+
 def test_phash_pairs_identical_images(spark, images):
     # duplicate one image id → identical phash → hamming 0 pair
     dup = images.limit(1).withColumn("image_id", F.lit("img-t-0-copy"))
