@@ -538,6 +538,32 @@ def _q_active_users_both_types(spark, sf_dir):
     return a.intersect(b)
 
 
+def _q_events_pivot_by_type(spark, sf_dir):
+    """Pivot shape (portable CASE WHEN form): per-user counts by the
+    first three event types."""
+    ev = _load(spark, sf_dir, "events")
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )[:3]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{i}")
+        for i, t in enumerate(types)
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def _q_events_value_stats(spark, sf_dir):
+    """Exact percentiles + sample stddev per event type."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
 def _q_emb_dim_stats(spark, sf_dir):
     """Per-dimension embedding stats (array element access)."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -663,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_daily": _q_events_user_daily,
         "events_asof_join": _q_events_asof_join,
         "emb_dim_stats": _q_emb_dim_stats,
+        "events_pivot_by_type": _q_events_pivot_by_type,
+        "events_value_stats": _q_events_value_stats,
         "serialize_roundtrip": _q_serialize_roundtrip,
         "pricing_rollup": _q_pricing_rollup,
         "orders_status_cube": _q_orders_status_cube,
@@ -824,6 +852,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY user_id, day
+        """,
+        "events_pivot_by_type": """
+            WITH t AS (SELECT event_type,
+                              row_number() OVER (ORDER BY event_type) - 1
+                                  AS idx
+                       FROM (SELECT DISTINCT event_type FROM events)
+                       ORDER BY event_type LIMIT 3)
+            SELECT user_id,
+                   sum(CASE WHEN event_type =
+                       (SELECT event_type FROM t WHERE idx = 0)
+                       THEN 1 ELSE 0 END) AS n_0,
+                   sum(CASE WHEN event_type =
+                       (SELECT event_type FROM t WHERE idx = 1)
+                       THEN 1 ELSE 0 END) AS n_1,
+                   sum(CASE WHEN event_type =
+                       (SELECT event_type FROM t WHERE idx = 2)
+                       THEN 1 ELSE 0 END) AS n_2
+            FROM events GROUP BY user_id
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(stddev_samp(value), 4) AS sd,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
         """,
         "emb_dim_stats": """
             SELECT label,
