@@ -727,7 +727,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_lang_counts": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source
         """,
         "events_politeness_topk": """
@@ -748,8 +749,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
-                       AS n_sessions,
+                   CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
@@ -860,15 +861,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM (SELECT DISTINCT event_type FROM events)
                        ORDER BY event_type LIMIT 3)
             SELECT user_id,
-                   sum(CASE WHEN event_type =
+                   CAST(sum(CASE WHEN event_type =
                        (SELECT event_type FROM t WHERE idx = 0)
-                       THEN 1 ELSE 0 END) AS n_0,
-                   sum(CASE WHEN event_type =
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+                   CAST(sum(CASE WHEN event_type =
                        (SELECT event_type FROM t WHERE idx = 1)
-                       THEN 1 ELSE 0 END) AS n_1,
-                   sum(CASE WHEN event_type =
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+                   CAST(sum(CASE WHEN event_type =
                        (SELECT event_type FROM t WHERE idx = 2)
-                       THEN 1 ELSE 0 END) AS n_2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_2
             FROM events GROUP BY user_id
         """,
         "events_value_stats": """
