@@ -229,6 +229,56 @@ def select_one(nodes: list[dict], selector: str) -> dict | None:
     return hits[0] if hits else None
 
 
+def match(nodes: list[dict], pos: int, selector: str) -> bool:
+    """``CSS.match`` (reference css.py:243-272): does this node match?"""
+    groups = parse_selector(selector)
+    idx = _DocIndex(nodes)
+    node = nodes[pos]
+    return any(_matches_chain(node, chain, idx) for chain in groups)
+
+
+def closest(nodes: list[dict], pos: int, selector: str) -> dict | None:
+    """``CSS.closest`` (css.py:211-241): nearest self-or-ancestor
+    matching the selector."""
+    groups = parse_selector(selector)
+    idx = _DocIndex(nodes)
+    p = pos
+    while p >= 0:
+        node = nodes[p]
+        if node["kind"] == "tag" and any(
+            _matches_chain(node, chain, idx) for chain in groups
+        ):
+            return node
+        p = node["parent_pos"]
+    return None
+
+
+def filter_children(nodes: list[dict], pos: int, selector: str) -> list[dict]:
+    """``CSS.filter`` (css.py:274-305): direct children matching."""
+    groups = parse_selector(selector)
+    idx = _DocIndex(nodes)
+    return [
+        n
+        for n in nodes[pos + 1 : nodes[pos]["subtree_end"] + 1]
+        if n["parent_pos"] == pos
+        and n["kind"] == "tag"
+        and any(_matches_chain(n, chain, idx) for chain in groups)
+    ]
+
+
+def iselect(nodes: list[dict], selector: str, root_pos: int | None = None):
+    """``CSS.iselect``: generator variant of select."""
+    groups = parse_selector(selector)
+    idx = _DocIndex(nodes)
+    if root_pos is None:
+        lo, hi = -1, len(nodes) - 1
+    else:
+        lo, hi = nodes[root_pos]["pos"], nodes[root_pos]["subtree_end"]
+    for node in nodes[lo + 1 : hi + 1]:
+        if any(_matches_chain(node, chain, idx) for chain in groups):
+            yield node
+
+
 def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "html"):
     """DataFrame stage: (url, html) rows → matched node rows per
     document (document-order), one Arrow parse+select pass."""

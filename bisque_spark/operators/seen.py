@@ -36,6 +36,21 @@ DEFAULT_BUCKETS = 32
 DEFAULT_BITS_PER_SHARD = 1 << 17  # 16 KiB / shard at sandbox scale
 DEFAULT_NUM_HASHES = 5
 
+
+def bits_for(expected_per_shard: int, target_fpr: float = 0.01) -> int:
+    """Shard geometry sizing: bits for an expected element count at a
+    target false-positive rate (m = -n·ln p / ln²2, rounded up to a
+    power of two). At 10^10 URLs over 4096 buckets and 1% fpr this
+    gives ~2^25 bits (4 MiB) per shard — data-sized state, never driver
+    state. NOTE: geometry must be chosen ONCE per crawl (merge assumes
+    identical m/k across epochs); pick from the expected final size."""
+    import math
+
+    if expected_per_shard <= 0:
+        return DEFAULT_BITS_PER_SHARD
+    m = -expected_per_shard * math.log(target_fpr) / (math.log(2) ** 2)
+    return 1 << max(10, math.ceil(math.log2(m)))
+
 _SHARD_SCHEMA = "bucket int, bloom binary"
 
 

@@ -432,6 +432,13 @@ def serialize_nodes(nodes: list[dict]) -> str:
     return "".join(pieces)
 
 
+def encode_nodes(nodes: list[dict], encoding: str = "utf-8") -> bytes:
+    """``Tag.encode`` (tag.py:539-567): serialize then encode with
+    xmlcharrefreplace (characters outside the target charset become
+    numeric entities)."""
+    return serialize_nodes(nodes).encode(encoding, "xmlcharrefreplace")
+
+
 def serialize_contents(nodes: list[dict], root_pos: int) -> str:
     """``Tag.decode_contents()`` (tag.py:812-866): children only, no
     enclosing tag markup."""

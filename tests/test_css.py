@@ -100,6 +100,37 @@ def test_cross_check_with_find_all():
     ]
 
 
+def test_match_closest_filter_iselect():
+    from bisque_spark.functions.css import (
+        closest,
+        filter_children,
+        iselect,
+        match,
+    )
+    from bisque_spark.parse import find_all
+
+    a = find_all(NODES, "a")[0]
+    assert match(NODES, a["pos"], "a[href]")
+    assert not match(NODES, a["pos"], "p")
+    up = closest(NODES, a["pos"], "div.outer")
+    assert up is not None and up["name"] == "div"
+    assert closest(NODES, a["pos"], "table") is None
+    # closest matches self first
+    assert closest(NODES, a["pos"], "a")["pos"] == a["pos"]
+
+    main = select(NODES, "#main")[0]
+    kids = filter_children(NODES, main["pos"], "p.a")
+    assert [_k["name"] for _k in kids] == ["p", "p"]
+    # filter only looks at direct children (p.inner is nested deeper)
+    assert all(
+        (k["attrs"] or {}).get("class") != "inner" for k in kids
+    )
+
+    gen = iselect(NODES, "li")
+    first = next(gen)
+    assert (first["attrs"] or {}).get("id") == "li1"
+
+
 def test_parse_errors():
     with pytest.raises(ValueError):
         parse_selector("p::before")

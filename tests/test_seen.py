@@ -37,6 +37,17 @@ def test_bloom_no_false_negatives(inserted, probes):
                 assert hit
 
 
+def test_bits_for_sizing():
+    from bisque_spark.operators.seen import bits_for
+
+    # ~2.4M elements/shard at 1% fpr needs ~23M bits → 2^25
+    assert bits_for(2_400_000, 0.01) == 1 << 25
+    assert bits_for(0) == 1 << 17
+    # monotone in n and in 1/fpr
+    assert bits_for(10_000_000) >= bits_for(1_000_000)
+    assert bits_for(1_000_000, 0.001) >= bits_for(1_000_000, 0.01)
+
+
 def test_shard_build_merge_and_filter(spark):
     a = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
     b = spark.range(500, 600).select(F.xxhash64("id").alias("url_hash"))

@@ -79,6 +79,15 @@ def test_on_duplicate_attribute_matches_reference():
         assert got == want, strategy
 
 
+def test_encode_matches_reference():
+    from bisque_spark.parse import encode_nodes
+
+    doc = "<p>café ☃ naïve</p>"
+    for enc in ("utf-8", "ascii", "windows-1252"):
+        want = ref_soup(doc).encode(enc)
+        assert encode_nodes(parse_nodes(doc), enc) == want, enc
+
+
 def test_serialize_details():
     # attr sorting, quote selection, multi-valued join, void elements
     doc = """<img z="1" a='x "q" y' class="b  a"><p>&lt;tag&gt; &amp; more</p>"""
