@@ -93,3 +93,28 @@ def test_lineage_written(spark_result):
     d = os.path.join(spark_result["workdir"], "epoch=00000")
     assert os.path.exists(os.path.join(d, "lineage.json"))
     assert os.path.exists(os.path.join(d, "_COMMIT"))
+
+
+def test_lineage_counters_consistent(spark, spark_result):
+    """Lineage bookkeeping must agree with the committed tables:
+    rows_scheduled == order-log rows per epoch; fetched+failed ==
+    scheduled; bloom_version increments monotonically."""
+    import json
+
+    order = read_order(spark, spark_result)
+    per_epoch = {
+        r["epoch"]: r["count"]
+        for r in order.groupBy("epoch").count().collect()
+    }
+    prev_version = 0
+    for e in range(spark_result["epochs"]):
+        with open(
+            os.path.join(
+                spark_result["workdir"], f"epoch={e:05d}", "lineage.json"
+            )
+        ) as f:
+            lin = json.load(f)
+        assert lin["rows_scheduled"] == per_epoch.get(e, 0), e
+        assert lin["rows_fetched"] + lin["rows_failed"] == lin["rows_scheduled"]
+        assert lin["bloom_version"] > prev_version
+        prev_version = lin["bloom_version"]
