@@ -564,6 +564,17 @@ def _q_events_value_stats(spark, sf_dir):
     )
 
 
+def _q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup in one grouping-sets
+    pass (hour + day buckets from a single scan)."""
+    from bisque_spark.operators.rollup import time_rollup
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return time_rollup(ev, grans=("hour", "day"))
+
+
 def _q_emb_dim_stats(spark, sf_dir):
     """Per-dimension embedding stats (array element access)."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -689,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_daily": _q_events_user_daily,
         "events_asof_join": _q_events_asof_join,
         "emb_dim_stats": _q_emb_dim_stats,
+        "events_time_rollup": _q_events_time_rollup,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "events_value_stats": _q_events_value_stats,
         "serialize_roundtrip": _q_serialize_roundtrip,
@@ -853,6 +865,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY user_id, day
+        """,
+        "events_time_rollup": """
+            SELECT 'hour' AS gran,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+                   count(*) AS n, round(sum(value), 4) AS sum_v,
+                   round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+            FROM events GROUP BY bucket
+            UNION ALL
+            SELECT 'day' AS gran,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                   count(*) AS n, round(sum(value), 4) AS sum_v,
+                   round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+            FROM events GROUP BY bucket
         """,
         "events_pivot_by_type": """
             WITH t AS (SELECT event_type,
