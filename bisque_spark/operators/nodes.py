@@ -285,7 +285,12 @@ def parents_of(nodes: DataFrame, anchors: DataFrame) -> DataFrame:
     ).drop("a_url")
 
 
-def get_text_of(nodes: DataFrame, roots: DataFrame, separator: str = "") -> DataFrame:
+def get_text_of(
+    nodes: DataFrame,
+    roots: DataFrame,
+    separator: str = "",
+    strip: bool = False,
+) -> DataFrame:
     """get_text() per root row, set-oriented: interesting strings are
     text/cdata descendants (string-container roots take their container
     kind), concatenated in document order via sort_array + array_join
@@ -313,19 +318,28 @@ def get_text_of(nodes: DataFrame, roots: DataFrame, separator: str = "") -> Data
     ).where(
         F.array_contains(container_kind, F.col("kind")) | F.col("pos").isNull()
     )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("text")))),
+        lambda s: s["text"],
+    )
+    if strip:
+        # strip each string, drop empties (page_element.py:149-155).
+        # Python str.strip() semantics (all whitespace, not just the
+        # spaces SQL trim removes); note F.trim must not be passed as a
+        # bare callable — its optional 2nd param makes transform treat
+        # it as an (element, index) lambda
+        ordered = F.filter(
+            F.transform(
+                ordered,
+                lambda s: F.regexp_replace(
+                    F.regexp_replace(s, r"^\s+", ""), r"\s+$", ""
+                ),
+            ),
+            lambda s: F.length(s) > 0,
+        )
     agg = (
         joined.groupBy("r_url", "root_pos")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("text")))
-                    ),
-                    lambda s: s["text"],
-                ),
-                separator,
-            ).alias("text")
-        )
+        .agg(F.array_join(ordered, separator).alias("text"))
         .withColumnRenamed("r_url", "url")
     )
     return agg

@@ -142,6 +142,15 @@ def test_get_text_matches_reference(spark, nodes):
         assert texts[url] == ref_soup(doc).get_text(), url
 
 
+def test_get_text_strip_and_separator(spark, nodes):
+    from bisque_spark.operators.nodes import get_text_of
+
+    figs = find_all(nodes, strainer("figcaption"))
+    got = get_text_of(nodes, figs, separator="|", strip=True).collect()[0]["text"]
+    want = ref_soup(DOCS[0][1]).find("figcaption").get_text("|", strip=True)
+    assert got == want
+
+
 def test_string_strainer(spark, nodes):
     hits = find_all(nodes, strainer(string=re.compile("caf"))).collect()
     assert len(hits) == 1 and hits[0]["kind"] == "text"
