@@ -59,8 +59,14 @@ def _has_class(node: dict, wanted: str) -> bool:
     return cls is not None and wanted in split_cdata_list(cls)
 
 
-def extract_page(text: str, page_url: str) -> dict:
-    """Decoded HTML → {"images": [...], "links": [...]}."""
+def extract_page(
+    text: str, page_url: str, respect_nofollow: bool = False
+) -> dict:
+    """Decoded HTML → {"images": [...], "links": [...]}.
+
+    ``respect_nofollow=True`` drops <a rel~=nofollow> out-links (real
+    crawl policy; OFF by default — the oracle contract follows every
+    link)."""
     nodes = parse_nodes(text)
     by_pos = nodes  # pos == index by construction
     images = []
@@ -111,8 +117,13 @@ def extract_page(text: str, page_url: str) -> dict:
             )
             img_k += 1
         elif name == "a":
-            href = (node["attrs"] or {}).get("href")
+            attrs_a = node["attrs"] or {}
+            href = attrs_a.get("href")
             if href:
+                if respect_nofollow and "nofollow" in split_cdata_list(
+                    attrs_a.get("rel", "")
+                ):
+                    continue
                 canon = canonicalize_url(href, base=page_url)
                 if canon:
                     links.append(canon)

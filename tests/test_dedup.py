@@ -52,6 +52,32 @@ def test_simhash_finds_duplicates(spark, docs):
     assert (0, 3) not in got
 
 
+def test_minhash_recall_on_realistic_near_dups(spark):
+    """Recall check on the real documents table: each doc paired with a
+    90%-prefix copy must be recovered by MinHash+LSH."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    clones = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, (F.length("text") * 0.9).cast("int")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(clones)
+    pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5)
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    want = {(i, i + 100000) for (i,) in docs.select("doc_id").collect()}
+    recall = len(found & want) / len(want)
+    assert recall >= 0.95, recall
+
+
 def test_ngrams_col(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
     out = [r["g"] for r in df.select(ngrams_col("text", 3).alias("g")).collect()]

@@ -65,6 +65,21 @@ def test_caption_byte_equality_all_variants():
     assert kinds  # at least some images existed
 
 
+def test_nofollow_policy():
+    from bisque_spark.operators.extract import extract_page
+
+    html = (
+        '<a href="/keep.html">k</a>'
+        '<a href="/drop.html" rel="external  nofollow">d</a>'
+        '<a href="/keep2.html" rel="next">k2</a>'
+    )
+    base = "http://h.test/"
+    default = extract_page(html, base)["links"]
+    assert len(default) == 3  # oracle contract: follow everything
+    strict = extract_page(html, base, respect_nofollow=True)["links"]
+    assert strict == ["http://h.test/keep.html", "http://h.test/keep2.html"]
+
+
 def test_image_roundtrip_lossless():
     img = synth_image("img-test-1")
     pixels = decode_image(img["bytes"], img["fmt"])
