@@ -564,6 +564,18 @@ def _q_events_value_stats(spark, sf_dir):
     )
 
 
+def _q_emb_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (probe-pruned ANN; the 100-TB search
+    path). Approximate by design → rows-only; recall vs exact is
+    pinned in tests/test_similarity.py."""
+    from bisque_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(emb.where(F.col("vec_id") != 0), q, k=10, n_cells=16, n_probe=6)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_events_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup in one grouping-sets
     pass (hour + day buckets from a single scan)."""
@@ -700,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_daily": _q_events_user_daily,
         "events_asof_join": _q_events_asof_join,
         "emb_dim_stats": _q_emb_dim_stats,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "events_time_rollup": _q_events_time_rollup,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "events_value_stats": _q_events_value_stats,

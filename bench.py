@@ -30,6 +30,8 @@ HEADLINE = [
     "pricing_summary",
     "events_politeness_topk",
     "events_sessionize",
+    "events_asof_join",
+    "events_time_rollup",
     "revenue_by_nation",
     "doc_token_stats",
     "doc_exact_dedup",
