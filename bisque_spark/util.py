@@ -11,6 +11,10 @@ def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     Arrow UDF work; at cluster scale inputs already have thousands of
     partitions and this is a no-op (guarded, not an unconditional
     repartition — no shuffle unless needed)."""
+    if df.isStreaming:
+        # partitioning of a stream is the source's concern; .rdd is
+        # also unavailable on streaming DataFrames
+        return df
     spark = df.sparkSession
     target = int(spark.sparkContext.defaultParallelism * min_factor)
     if df.rdd.getNumPartitions() < target:
