@@ -95,6 +95,32 @@ def test_lineage_written(spark_result):
     assert os.path.exists(os.path.join(d, "_COMMIT"))
 
 
+def test_resume_after_partial_epoch_crash(spark, tmp_path_factory, spark_result):
+    """Crash mid-commit: an epoch directory with data files but no
+    _COMMIT marker must be redone on resume, bit-identically."""
+    import shutil
+
+    wd = str(tmp_path_factory.mktemp("crawl_partial"))
+    run_crawl(spark, WORLD, seed_urls(WORLD), workdir=wd, max_epochs=2)
+    # simulate dying mid-write of epoch 1: remove the marker and
+    # corrupt one state table
+    d1 = os.path.join(wd, "epoch=00001")
+    os.remove(os.path.join(d1, "_COMMIT"))
+    shutil.rmtree(os.path.join(d1, "order"))
+    os.remove(os.path.join(d1, "lineage.json"))
+
+    res = run_crawl(
+        spark, WORLD, seed_urls(WORLD), workdir=wd, max_epochs=MAX_EPOCHS,
+        resume=True,
+    )
+    got = _order_tuples(spark, res)
+    want = _order_tuples(spark, spark_result)
+    assert got == want
+    a = {r["url_hash"] for r in read_seen(spark, res).collect()}
+    b = {r["url_hash"] for r in read_seen(spark, spark_result).collect()}
+    assert a == b
+
+
 def test_lineage_counters_consistent(spark, spark_result):
     """Lineage bookkeeping must agree with the committed tables:
     rows_scheduled == order-log rows per epoch; fetched+failed ==
