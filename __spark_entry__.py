@@ -197,13 +197,19 @@ def _q_emb_knn_query0(spark, sf_dir):
         .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
-            F.round(
-                cosine_col(F.col("embedding").cast("array<double>"), F.col("qvec")),
-                4,
-            ).alias("cosine"),
+            cosine_col(
+                F.col("embedding").cast("array<double>"), F.col("qvec")
+            ).alias("cos_raw"),
         )
     )
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+    # order by the UNROUNDED cosine (vec_id tiebreak) and round only in
+    # the final projection — same top-10 membership as the oracle, which
+    # also orders raw and rounds afterwards (ADVICE r01)
+    return (
+        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
 
 
 def _q_minhash_near_dups(spark, sf_dir):
@@ -372,7 +378,11 @@ def _q_nodes_find_all(spark, sf_dir):
         ).alias("html"),
     )
     nodes = explode_nodes(pages, html_col="html")
-    hits = find_all(nodes, strainer("p", class_="text"))
+    # string co-filter (soup_strainer.py:171-173): only <p> whose
+    # Tag.string contains "the" — exercises the tag_string_of semi-join
+    hits = find_all(
+        nodes, strainer("p", class_="text"), string=__import__("re").compile("the")
+    )
     return hits.select("url", "pos", "name", "sibling_idx", "depth")
 
 
@@ -738,8 +748,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
                        AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                         / length(text), 6) AS punct_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                         (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                         / length(text) END, 6) AS punct_ratio,
                    round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
                        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                        w -> lower(w) IN ({stop_list})))

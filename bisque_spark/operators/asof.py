@@ -10,6 +10,13 @@ DataFrame ops, no UDF): tag both sides, union, and window-fill with
 ``last(..., ignorenulls=True)`` ordered by (ts, side) where the right
 side sorts first at equal timestamps (inclusivity). One shuffle on the
 key — the same cost as a sort-merge join, with no range-explosion.
+
+The fill carries ONE struct of the whole matched right row (ts +
+value columns), not per-column fills: per-column ``last(ignorenulls)``
+would mix values from different right rows whenever a right value is
+NULL (pandas/DuckDB attach the matched row's value *including* its
+NULLs). Right-side ties on (by, ts) are broken deterministically by
+the struct's own ordering (last = max struct wins).
 """
 
 from __future__ import annotations
@@ -31,33 +38,42 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
+    rtypes = dict(right.dtypes)
+    struct_type = (
+        "struct<__ts:" + rtypes[on]
+        + "".join(f",{c}:{rtypes[c]}" for c in value_cols) + ">"
+    )
     l_tagged = left.withColumn("__side", F.lit(1))
     for c in value_cols:
         if c in left.columns:
             l_tagged = l_tagged.withColumnRenamed(c, f"__l_{c}")
-        l_tagged = l_tagged.withColumn(f"{c}{suffix}", F.lit(None).cast(
-            dict(right.dtypes)[c]
-        ))
-    l_tagged = l_tagged.withColumn(f"{on}{suffix}", F.lit(None).cast(
-        dict(right.dtypes)[on]
-    ))
+    l_tagged = l_tagged.withColumn("__r", F.lit(None).cast(struct_type))
     r_tagged = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(on).alias(f"{on}{suffix}"),
+        F.struct(
+            F.col(on).alias("__ts"), *[F.col(c) for c in value_cols]
+        ).cast(struct_type).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("__side").asc(),
+            F.col("__r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in [*(f"{c}{suffix}" for c in value_cols), f"{on}{suffix}"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.where(F.col("__side") == 1).drop("__side")
+    filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = (
+        filled.where(F.col("__side") == 1)
+        .withColumn(f"{on}{suffix}", F.col("__r").getField("__ts"))
+    )
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("__r").getField(c))
+    out = out.drop("__side", "__r")
     for c in value_cols:
         if f"__l_{c}" in out.columns:
             out = out.withColumnRenamed(f"__l_{c}", c)

@@ -60,14 +60,19 @@ def _has_class(node: dict, wanted: str) -> bool:
 
 
 def extract_page(
-    text: str, page_url: str, respect_nofollow: bool = False
+    text: str,
+    page_url: str,
+    respect_nofollow: bool = False,
+    original_encoding: str | None = None,
 ) -> dict:
     """Decoded HTML → {"images": [...], "links": [...]}.
 
     ``respect_nofollow=True`` drops <a rel~=nofollow> out-links (real
     crawl policy; OFF by default — the oracle contract follows every
-    link)."""
-    nodes = parse_nodes(text)
+    link). ``original_encoding`` is the detected source encoding,
+    threaded into the parser for charref resolution exactly as the
+    reference passes it to the tree builder."""
+    nodes = parse_nodes(text, original_encoding=original_encoding)
     by_pos = nodes  # pos == index by construction
     images = []
     links = []
@@ -190,7 +195,7 @@ def extract_batches(
                     if text is None:
                         error = "decode_failed"
                     else:
-                        res = extract_page(text, url)
+                        res = extract_page(text, url, original_encoding=encoding)
                         images = res["images"]
                         links = res["links"]
                         if had_repl:
@@ -233,7 +238,7 @@ def make_fetch_extract_batches(world):
                         if text is None:
                             error = "decode_failed"
                         else:
-                            res = extract_page(text, url)
+                            res = extract_page(text, url, original_encoding=encoding)
                             images = res["images"]
                             links = res["links"]
                             if had_repl:

@@ -70,12 +70,17 @@ def unwrap(nodes: list[dict], pos: int) -> list[dict]:
     i = _index_of(nodes, pos)
     target = nodes[i]
     parent = target["parent_pos"]
+    hi = target["subtree_end"]
     out = []
     for n in nodes:
         if n["pos"] == pos:
             continue
         if n["parent_pos"] == pos:
             n = {**n, "parent_pos": parent, "depth": n["depth"] - 1}
+        elif pos < n["pos"] <= hi:
+            # the whole hoisted subtree is one level shallower, not
+            # just the direct children (ADVICE r01)
+            n = {**n, "depth": n["depth"] - 1}
         out.append(n)
     return out
 

@@ -149,20 +149,76 @@ def strainer(
     for attr, want in attrs.items():
         pred = pred & _match_attr(attr, want)
     if string is not None:
-        # tag whose single interesting string matches — approximated as
-        # "has a matching descendant string" at table level; exact
-        # single-string semantics applied by pairing with get_text
-        pred = pred & F.lit(True)
+        # the string co-filter compares against Tag.string — a JOIN over
+        # the node table, not a row-local predicate — so it cannot be a
+        # Column. Refuse loudly (a silent pass-through returned
+        # unfiltered results in round 1); find_all(string=...) applies
+        # the exact reference semantics (soup_strainer.py:171-173).
+        raise NotImplementedError(
+            "string= with name/attrs is a co-filter over Tag.string; "
+            "pass string= to find_all()/find_first() instead"
+        )
     return pred
 
 
 # ---- axes -------------------------------------------------------------------
 
 
-def find_all(nodes: DataFrame, pred: Column, limit: int | None = None) -> DataFrame:
+def tag_string_of(nodes: DataFrame) -> DataFrame:
+    """(url, pos, tag_string) for every tag whose ``Tag.string`` exists.
+
+    Reference semantics (tag.py:267-287, recursive): t.string is the
+    terminal of a single-child chain — exactly one child at every hop,
+    ending in a string node. Relationally: the subtree of t is a pure
+    chain iff its node count equals its depth span, and the chain's
+    terminal is then the subtree's last node in document order. So
+    t.string = s where s.pos == t.subtree_end, s is not a tag, and
+    (t.subtree_end - t.pos) == (s.depth - t.depth). The join is an
+    equi-join on (url, subtree_end == pos) — one shuffle, url-local.
+    """
+    s = nodes.where(F.col("kind") != "tag").select(
+        F.col("url").alias("s_url"),
+        F.col("pos").alias("s_pos"),
+        F.col("depth").alias("s_depth"),
+        F.col("text").alias("tag_string"),
+    )
+    t = nodes.where(F.col("kind") == "tag").select(
+        "url", "pos", "depth", "subtree_end"
+    )
+    return t.join(
+        s,
+        (t["url"] == s["s_url"]) & (t["subtree_end"] == s["s_pos"]),
+    ).where(
+        (F.col("s_pos") > t["pos"])
+        & ((t["subtree_end"] - t["pos"]) == (F.col("s_depth") - t["depth"]))
+    ).select(t["url"], t["pos"], "tag_string")
+
+
+def find_all(
+    nodes: DataFrame,
+    pred: Column,
+    limit: int | None = None,
+    string=None,
+) -> DataFrame:
     """Document-order scan + strainer predicate (+ per-document limit
-    via window rank, matching the reference's generator truncation)."""
+    via window rank, matching the reference's generator truncation).
+
+    ``string=`` is the SoupStrainer co-filter (soup_strainer.py:171-173):
+    keep only tags whose ``Tag.string`` matches — applied as a left-semi
+    join against :func:`tag_string_of`, the exact reference semantics
+    (round 1 silently ignored it)."""
     hits = nodes.where(pred)
+    if string is not None:
+        ts = (
+            tag_string_of(nodes)
+            .where(_match_value(F.col("tag_string"), string))
+            .select(F.col("url").alias("ts_url"), F.col("pos").alias("ts_pos"))
+        )
+        hits = hits.join(
+            ts,
+            (hits["url"] == ts["ts_url"]) & (hits["pos"] == ts["ts_pos"]),
+            "left_semi",
+        )
     if limit is not None:
         w = Window.partitionBy("url").orderBy("pos")
         hits = (
@@ -173,9 +229,9 @@ def find_all(nodes: DataFrame, pred: Column, limit: int | None = None) -> DataFr
     return hits
 
 
-def find_first(nodes: DataFrame, pred: Column) -> DataFrame:
+def find_first(nodes: DataFrame, pred: Column, string=None) -> DataFrame:
     """find() — first match per document."""
-    return find_all(nodes, pred, limit=1)
+    return find_all(nodes, pred, limit=1, string=string)
 
 
 def descendants_of(nodes: DataFrame, roots: DataFrame) -> DataFrame:

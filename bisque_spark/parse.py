@@ -268,12 +268,14 @@ class _NodeCollector(HTMLParser):
             real = int(ref)
         data = None
         if real < 256:
+            # no break: a later windows-1252 success overwrites an
+            # earlier decode, exactly like the reference loop
+            # (_htmlparser/parser.py handle_charref)
             for encoding in (self.original_encoding, "windows-1252"):
                 if not encoding:
                     continue
                 try:
                     data = bytearray([real]).decode(encoding)
-                    break
                 except (UnicodeDecodeError, LookupError):
                     pass
         if not data:

@@ -56,3 +56,39 @@ def test_asof_inclusive_tie(spark):
     rdf = spark.createDataFrame([(1, 10.0, "R")], "user_id int, ts double, r string")
     got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["r"]).first()
     assert got["r_right"] == "R"  # equal timestamp matches (inclusive)
+
+
+def test_asof_null_right_value_attaches_matched_row(spark):
+    """A NULL in the matched right row must come through as NULL — not
+    be back-filled from an older right row (pandas/DuckDB semantics;
+    ADVICE r01: per-column fill mixed rows)."""
+    ldf = spark.createDataFrame([(1, 3.0)], "user_id int, ts double")
+    rdf = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None)], "user_id int, ts double, v double"
+    )
+    got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["v"]).first()
+    assert got["ts_right"] == 2.0
+    assert got["v_right"] is None
+
+    want = pd.merge_asof(
+        pd.DataFrame({"user_id": [1], "ts": [3.0]}),
+        pd.DataFrame({"user_id": [1, 1], "ts": [1.0, 2.0], "v": [5.0, None]}),
+        on="ts",
+        by="user_id",
+        suffixes=("", "_right"),
+    )
+    assert pd.isna(want["v"].iloc[0])
+
+
+def test_asof_right_ties_deterministic(spark):
+    """Right-side ties on (by, ts): max-struct wins, every run."""
+    ldf = spark.createDataFrame([(1, 10.0)], "user_id int, ts double")
+    rows = [(1, 10.0, float(v)) for v in (3, 1, 7, 5)]
+    vals = set()
+    for _ in range(3):
+        rdf = spark.createDataFrame(
+            rows, "user_id int, ts double, v double"
+        ).repartition(8)
+        got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["v"]).first()
+        vals.add(got["v_right"])
+    assert vals == {7.0}

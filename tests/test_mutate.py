@@ -138,3 +138,26 @@ def test_smooth_df_merges_runs(spark):
         r["text"] for r in smoothed.where(F.col("kind") == "text").collect()
     )
     assert texts == ["ac"]
+
+
+def test_unwrap_decrements_depth_for_whole_subtree():
+    """Grandchildren of an unwrapped tag must also lose one depth level
+    (ADVICE r01: only direct children were decremented)."""
+    from bisque_spark.operators.mutate import unwrap
+    from bisque_spark.parse import parse_nodes
+
+    nodes = parse_nodes("<div><span><b><i>x</i></b></span></div>")
+    span = next(n for n in nodes if n["name"] == "span")
+    out = unwrap(nodes, span["pos"])
+    depth_of = {n["pos"]: n["depth"] for n in out}
+    by_name = {n["name"]: n for n in out if n["kind"] == "tag"}
+    # invariant: every node's depth == its ancestor-chain length
+    parent_of = {n["pos"]: n["parent_pos"] for n in out}
+    for n in out:
+        d, p = 0, n["parent_pos"]
+        while p >= 0:
+            d += 1
+            p = parent_of[p]
+        assert n["depth"] == d, (n, depth_of)
+    assert by_name["b"]["depth"] == 1
+    assert by_name["i"]["depth"] == 2

@@ -155,3 +155,56 @@ def test_string_strainer(spark, nodes):
     hits = find_all(nodes, strainer(string=re.compile("caf"))).collect()
     assert len(hits) == 1 and hits[0]["kind"] == "text"
     assert hits[0]["text"] == "café"
+
+
+def test_string_cofilter_matches_reference(spark, nodes):
+    """find_all(name, string=...) — the SoupStrainer co-filter
+    (soup_strainer.py:171-173) vs the reference, incl. the recursive
+    Tag.string chain (tag.py:267-287)."""
+    cases = [
+        ("p", re.compile("one")),
+        ("p", "two"),
+        ("li", re.compile(".")),
+        ("figcaption", re.compile("cap")),  # 2 children → .string None
+        ("b", "bold"),
+        ("td", True),
+        ("p", True),
+    ]
+    for name, want_str in cases:
+        got = sorted(
+            (r["url"], r["pos"])
+            for r in find_all(nodes, strainer(name), string=want_str).collect()
+        )
+        want = []
+        for url, doc in DOCS:
+            soup = ref_soup(doc)
+            n = len(soup.find_all(name, string=want_str))
+            got_urls = [g for g in got if g[0] == url]
+            assert len(got_urls) == n, (name, want_str, url, got_urls, n)
+
+
+def test_string_cofilter_recursive_chain(spark):
+    """<div><b><i>deep</i></b></div>: div.string == 'deep' through two
+    single-child hops; a sibling breaks the chain."""
+    docs = [
+        ("c1", "<div><b><i>deep</i></b></div>"),
+        ("c2", "<div><b><i>deep</i></b>extra</div>"),
+    ]
+    pages = spark.createDataFrame(docs, "url string, text string")
+    nodes = explode_nodes(pages)
+    got = {
+        r["url"]
+        for r in find_all(nodes, strainer("div"), string="deep").collect()
+    }
+    want = set()
+    for url, doc in docs:
+        if ref_soup(doc).find("div", string="deep") is not None:
+            want.add(url)
+    assert got == want == {"c1"}
+
+
+def test_strainer_string_with_name_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        strainer("p", string="x")

@@ -188,3 +188,19 @@ def test_find_all_multivalued_class():
     assert len(soup.find_all("p", class_="caption")) == 1
     # whole-string match of the space-joined value also matches
     assert len(find_all(nodes, "p", {"class": "caption wide"})) == 1
+
+
+def test_charref_windows1252_overwrite_matches_reference():
+    """handle_charref has NO break (ref parser.py): a windows-1252
+    success overwrites an earlier original_encoding decode, so &#147;
+    is a smart quote even when the detected encoding is latin-1."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    markup = b'<p>&#147;quoted&#148; &#128; &#160;</p>'
+    for enc in ("latin-1", "koi8-r"):
+        soup = Bisque(markup, features="html.parser", from_encoding=enc)
+        nodes = parse_nodes(markup.decode(enc), original_encoding=enc)
+        assert get_text(nodes, 0) == soup.get_text(), enc
