@@ -735,8 +735,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bisque_spark.functions.text import STOPWORDS
+
     stop_list = ",".join(f"'{w}'" for w in EN_STOP)
+    langs = sorted(STOPWORDS)  # de, en, es, fr
+    lang_counts = ",\n                   ".join(
+        "len(list_filter(words, x -> x IN ({lst}))) AS c_{lang}".format(
+            lst=",".join(f"'{w}'" for w in sorted(STOPWORDS[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ",".join(f"c_{lang}" for lang in langs) + ")"
+    lang_case = (
+        f"CASE WHEN {best} <= 0 OR {best} IS NULL THEN 'und' "
+        + " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
     return {
+        "doc_langid": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS words
+                FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                   {lang_counts}
+                FROM w
+            )
+            SELECT doc_id, {lang_case} AS lang_pred FROM sc
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS doc_id,

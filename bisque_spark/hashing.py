@@ -97,3 +97,78 @@ def xxhash64_str(s: str, seed: int = SPARK_SEED) -> int:
 
 def xxhash64_bytes(b: bytes, seed: int = SPARK_SEED) -> int:
     return to_i64(xxh64(b, seed))
+
+
+def xxh64_vec(data, seed: int = SPARK_SEED):
+    """Vectorized XXH64 over the rows of a same-length uint8 matrix.
+
+    ``data`` is (n, L) np.uint8; returns (n,) np.uint64 — bit-identical
+    to :func:`xxh64` per row (pinned by tests/test_hashing.py). Because
+    every row has the same byte length L, the scalar algorithm's control
+    flow is row-invariant and each step becomes one numpy op over the
+    whole batch — this is what lets fingerprint/simhash UDFs hash
+    millions of windows/tokens per Arrow batch without per-row Python.
+    Little-endian hosts only (x86/ARM)."""
+    import numpy as np
+
+    n_rows, L = data.shape
+    u = np.uint64
+    P1, P2, P3, P4, P5 = (
+        u(PRIME64_1), u(PRIME64_2), u(PRIME64_3), u(PRIME64_4), u(PRIME64_5)
+    )
+
+    def rotl(x, r):
+        return (x << u(r)) | (x >> u(64 - r))
+
+    def rnd(acc, inp):
+        acc = acc + inp * P2
+        acc = rotl(acc, u(31))
+        return acc * P1
+
+    def chunk64(idx):
+        return np.ascontiguousarray(data[:, idx : idx + 8]).view(np.uint64).ravel()
+
+    with np.errstate(over="ignore"):
+        idx = 0
+        if L >= 32:
+            v1 = np.full(n_rows, (seed + PRIME64_1 + PRIME64_2) & MASK64, dtype=u)
+            v2 = np.full(n_rows, (seed + PRIME64_2) & MASK64, dtype=u)
+            v3 = np.full(n_rows, seed & MASK64, dtype=u)
+            v4 = np.full(n_rows, (seed - PRIME64_1) & MASK64, dtype=u)
+            while idx <= L - 32:
+                v1 = rnd(v1, chunk64(idx))
+                v2 = rnd(v2, chunk64(idx + 8))
+                v3 = rnd(v3, chunk64(idx + 16))
+                v4 = rnd(v4, chunk64(idx + 24))
+                idx += 32
+            h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+            for v in (v1, v2, v3, v4):
+                h = (h ^ rnd(np.zeros(n_rows, dtype=u), v)) * P1 + P4
+        else:
+            h = np.full(n_rows, (seed + PRIME64_5) & MASK64, dtype=u)
+        h = h + u(L)
+        while idx + 8 <= L:
+            k1 = rnd(np.zeros(n_rows, dtype=u), chunk64(idx))
+            h ^= k1
+            h = rotl(h, 27) * P1 + P4
+            idx += 8
+        if idx + 4 <= L:
+            c4 = (
+                np.ascontiguousarray(data[:, idx : idx + 4])
+                .view(np.uint32)
+                .ravel()
+                .astype(u)
+            )
+            h ^= c4 * P1
+            h = rotl(h, 23) * P2 + P3
+            idx += 4
+        while idx < L:
+            h ^= data[:, idx].astype(u) * P5
+            h = rotl(h, 11) * P1
+            idx += 1
+        h ^= h >> u(33)
+        h *= P2
+        h ^= h >> u(29)
+        h *= P3
+        h ^= h >> u(32)
+    return h

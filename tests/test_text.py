@@ -69,3 +69,57 @@ def test_hamming_col_matches_python(spark):
     )
     want = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
     assert df.first()["d"] == want
+
+
+def test_vectorized_series_match_python_twins():
+    """The Arrow-batch bodies (one xxh64_vec call per batch) must be
+    bit-identical to the per-row Python twins — the round-1→round-2
+    no-behavior-change pin (VERDICT r01 next-round #2)."""
+    import pandas as pd
+
+    from bisque_spark.functions.text import (
+        _fingerprint_series,
+        _simhash_series,
+    )
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=120)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        fp = _fingerprint_series(pd.Series(texts, dtype=object))
+        sh = _simhash_series(pd.Series(texts, dtype=object))
+        for t, g_fp, g_sh in zip(texts, fp, sh):
+            assert g_fp == (fingerprint_py(t) if t is not None else 0)
+            assert g_sh == (simhash_py(t) if t else 0)
+
+    check()
+
+
+def test_langid_col_matches_python(spark):
+    """JVM langid (pure Column expr) == langid_py on every document."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import langid_col
+
+    texts = [
+        "the cat is in the house and it is big",
+        "le chat est dans la maison et les arbres",
+        "der Hund ist nicht ein Tier mit der Katze",
+        "el perro es un animal y los gatos",
+        "",
+        None,
+        "zzz qqq xxx",
+        "the le der el",  # 1-each tie -> first sorted lang ('de')
+        "Uppercase THE AND TO in is it",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r["i"]: r["lang"] for r in df.select("i", langid_col("t").alias("lang")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == (langid_py(t) if t is not None else "und"), (i, t, got[i])
