@@ -96,3 +96,51 @@ def test_ngram_jaccard_exact_value(spark, docs):
     g2 = {" ".join(toks2[i : i + 2]) for i in range(len(toks2) - 1)}
     want = len(g0 & g2) / len(g0 | g2)
     assert abs(got[(0, 2)] - want) < 1e-9
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Hamming-6 pair whose differing bits land in ALL of round 1's
+    four 16-bit bands — the old n_bands=4 banding had zero shared keys
+    and silently missed it; the pigeonhole banding (n_bands >=
+    max_hamming+1) must find it. Exhaustive check over random
+    hamming<=6 perturbations too."""
+    import random
+
+    from bisque_spark.operators.dedup import simhash_pairs_from_sigs
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0x5A5A_5A5A_5A5A_5A5A
+    # bits spread across old bands [0-16), [16-32), [32-48), [48-64)
+    spread_bits = [2, 13, 21, 34, 47, 58]
+    other = base
+    for b in spread_bits:
+        other ^= 1 << b
+    rng = random.Random(7)
+    rows = [(0, signed(base)), (1, signed(other))]
+    want_pairs = {(0, 1)}
+    nxt = 2
+    for _ in range(20):
+        h = rng.getrandbits(64)
+        flip = h
+        for b in rng.sample(range(64), rng.randint(1, 6)):
+            flip ^= 1 << b
+        rows += [(nxt, signed(h)), (nxt + 1, signed(flip))]
+        want_pairs.add((nxt, nxt + 1))
+        nxt += 2
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_sigs(sig, "doc_id", max_hamming=6).collect()
+    }
+    assert want_pairs <= got, want_pairs - got
+
+
+def test_simhash_nbands_assertion():
+    import pytest as _pytest
+
+    from bisque_spark.operators.dedup import simhash_pairs_from_sigs
+
+    with _pytest.raises(AssertionError):
+        simhash_pairs_from_sigs(None, "id", max_hamming=8, n_bands=4)

@@ -75,3 +75,35 @@ def test_lsh_finds_identical_vectors(spark, vecs):
     pairs = lsh_near_pairs(df, dim=16, n_bits=8, min_cosine=0.99)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (3, 10) in got  # identical vectors share every bucket
+
+
+def test_ivf_clustered_recall_beats_lowest_id_quantizer(spark):
+    """Clustered corpus whose first n_cells ids all sit in ONE cluster —
+    round 1's lowest-id centroids collapse there (cluster members
+    scatter across near-identical centroids; probing misses most of
+    them). The sampled+Lloyd quantizer must reach recall@10 >= 0.9."""
+    import numpy as np
+
+    from bisque_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    n_clusters, per, dim = 10, 60, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # ids ordered BY CLUSTER: ids 0..59 are all cluster 0
+    for c in range(n_clusters):
+        pts = centers[c] + 0.08 * rng.normal(size=(per, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in centers[7]]
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(df, q, k=10, n_cells=10, n_probe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
