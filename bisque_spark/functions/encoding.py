@@ -16,7 +16,13 @@ errors="replace" and the replacement flag is set (detection.py:314-333).
 
 Smart-quote handling: the reference's default (smart_quotes_to=None)
 leaves cp1252 0x80-0x9F bytes to decode as their Windows-1252 characters
-— we preserve exactly that behavior by plain codec decoding.
+— plain codec decoding preserves exactly that. The non-default modes
+("ascii"/"xml"/"html", detection.py:287,335-350,360-371) substitute
+those bytes BEFORE decoding, only when the winning codec is one of
+windows-1252 / iso-8859-1 / iso-8859-2; entity names/hex are derived
+from cp1252 + stdlib codepoint2name (chars without an HTML4 name fall
+back to ``#xHEX`` just like the reference's table), including the
+reference's empty-hex quirk for U+0178 (&#x; in xml mode).
 """
 
 from __future__ import annotations
@@ -121,6 +127,60 @@ def candidate_encodings(
     return stripped, order
 
 
+# smart_quotes_to support (detection.py:241,335-371) ---------------------------
+
+_SMART_QUOTE_ENCODINGS = {"windows-1252", "iso-8859-1", "iso-8859-2"}
+# hand-picked ASCII approximations for cp1252 0x80-0x9f (the only
+# reachable slice of the reference's MS_CHARS_TO_ASCII — the regex only
+# matches [\x80-\x9f])
+_MS_ASCII = {
+    0x80: "EUR", 0x81: " ", 0x82: ",", 0x83: "f", 0x84: ",,",
+    0x85: "...", 0x86: "+", 0x87: "++", 0x88: "^", 0x89: "%",
+    0x8A: "S", 0x8B: "<", 0x8C: "OE", 0x8D: "?", 0x8E: "Z",
+    0x8F: "?", 0x90: "?", 0x91: "'", 0x92: "'", 0x93: '"',
+    0x94: '"', 0x95: "*", 0x96: "-", 0x97: "--", 0x98: "~",
+    0x99: "(TM)", 0x9A: "s", 0x9B: ">", 0x9C: "oe", 0x9D: "?",
+    0x9E: "z", 0x9F: "Y",
+}
+_SMART_QUOTE_RE = re.compile(rb"[\x80-\x9f]")
+
+
+def _ms_entity(byte: int) -> tuple[str, str] | None:
+    """(entity name, hex codepoint) for a cp1252 byte, or None when the
+    byte is undefined in cp1252 (0x81/0x8d/0x8f/0x90/0x9d)."""
+    from html.entities import codepoint2name
+
+    try:
+        ch = bytes([byte]).decode("windows-1252")
+    except UnicodeDecodeError:
+        return None
+    cp = ord(ch)
+    name = codepoint2name.get(cp, f"#x{cp:X}")
+    # reference quirk (detection.py:454): Yuml's hex field is EMPTY, so
+    # xml mode emits the (invalid) "&#x;" — replicated for byte parity
+    hexcp = "" if cp == 0x178 else f"{cp:X}"
+    return name, hexcp
+
+
+def sub_smart_quotes(data: bytes, mode: str) -> bytes:
+    """Pre-decode substitution of cp1252 control-range bytes
+    (UnicodeDammit._sub_ms_char, detection.py:335-350)."""
+
+    def sub(m: re.Match) -> bytes:
+        b = m.group(0)[0]
+        if mode == "ascii":
+            return _MS_ASCII[b].encode()
+        ent = _ms_entity(b)
+        if ent is None:
+            return (" " if b == 0x81 else "?").encode()
+        name, hexcp = ent
+        if mode == "xml":
+            return b"&#x" + hexcp.encode() + b";"
+        return b"&" + name.encode() + b";"
+
+    return _SMART_QUOTE_RE.sub(sub, data)
+
+
 def detwingle(data: bytes) -> bytes:
     """Fix Windows-1252 bytes embedded in UTF-8 (detection.py:729-794).
 
@@ -169,6 +229,7 @@ def decode_html(
     user: tuple[str, ...] = (),
     is_html: bool = True,
     exclude: tuple[str, ...] = (),
+    smart_quotes_to: str | None = None,
 ) -> tuple[str | None, str | None, bool]:
     """bytes → (text, chosen encoding, had_replacement_characters)."""
     if isinstance(data, str):
@@ -176,9 +237,15 @@ def decode_html(
     stripped, order = candidate_encodings(
         data, known_definite, user, is_html, exclude
     )
+
+    def prepared(enc: str) -> bytes:
+        if smart_quotes_to is not None and enc in _SMART_QUOTE_ENCODINGS:
+            return sub_smart_quotes(stripped, smart_quotes_to)
+        return stripped
+
     for enc in order:
         try:
-            text = stripped.decode(enc)
+            text = prepared(enc).decode(enc)
         except (UnicodeDecodeError, ValueError):
             continue
         if text == "":
@@ -194,7 +261,7 @@ def decode_html(
         if enc == "ascii":
             continue
         try:
-            return stripped.decode(enc, "replace"), enc, True
+            return prepared(enc).decode(enc, "replace"), enc, True
         except (ValueError, LookupError):
             continue
     return None, None, False

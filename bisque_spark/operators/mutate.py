@@ -29,6 +29,23 @@ def decompose(nodes: list[dict], pos: int) -> list[dict]:
     return [n for n in nodes if not (lo <= n["pos"] <= hi)]
 
 
+def clear(nodes: list[dict], pos: int) -> list[dict]:
+    """Remove the CONTENTS of the tag at ``pos``, keeping the tag
+    itself (Tag.clear, tag.py:368-383 — extract/decompose every child).
+    The emptied tag's subtree_end collapses to its own pos."""
+    target = nodes[_index_of(nodes, pos)]
+    lo, hi = target["pos"], target["subtree_end"]
+    out = []
+    for n in nodes:
+        if n["pos"] == lo:
+            out.append({**n, "subtree_end": lo})
+        elif lo < n["pos"] <= hi:
+            continue
+        else:
+            out.append(n)
+    return out
+
+
 def extract_subtree(nodes: list[dict], pos: int) -> tuple[list[dict], list[dict]]:
     """Rip the subtree out; return (remaining, extracted)
     (page_element.py:235-277)."""

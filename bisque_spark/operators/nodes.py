@@ -161,6 +161,29 @@ def strainer(
     return pred
 
 
+def callable_strainer(fn) -> Column:
+    """Arbitrary-Python predicate over node rows — the documented SLOW
+    LANE (the reference's callable SoupStrainer, soup_strainer.py:
+    139-151, 214-232). ``fn`` receives one dict per node (keys: kind,
+    name, attrs, text, pos, depth, sibling_idx) and returns truthiness.
+
+    This is an Arrow-batched pandas UDF, so the whole node table rides
+    the JVM→Python bridge: use the Column-expression ``strainer`` for
+    every str/regex/list/True/None predicate and reach for this only
+    when the predicate is genuinely arbitrary code. (Built lazily — a
+    module-level pandas_udf can't be unpickled on executors.)"""
+
+    def batch(s: pd.DataFrame) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=bool)
+        return pd.Series([bool(fn(row)) for row in s.to_dict("records")])
+
+    pred = F.pandas_udf(batch, "boolean")
+    return pred(
+        F.struct("kind", "name", "attrs", "text", "pos", "depth", "sibling_idx")
+    )
+
+
 # ---- axes -------------------------------------------------------------------
 
 

@@ -192,8 +192,16 @@ class _NodeCollector(HTMLParser):
             if value is None:
                 value = ""
             # duplicate attribute strategies (parser.py:94-106):
-            # "replace" (default) keeps the last value, "ignore" the first
-            if key in attr_dict and self.on_duplicate_attribute == "ignore":
+            # "replace"/None keeps the last value, "ignore" the first,
+            # a callable receives (attr_dict, key, value) and mutates
+            if key in attr_dict:
+                on_dupe = self.on_duplicate_attribute
+                if on_dupe == "ignore":
+                    pass
+                elif on_dupe in (None, "replace"):
+                    attr_dict[key] = value
+                else:
+                    on_dupe(attr_dict, key, value)
                 continue
             attr_dict[key] = value
         parent = self.stack[-1]
@@ -376,6 +384,50 @@ def substitute_xml(value: str) -> str:
     return _AMP_OR_BRACKET.sub(lambda m: _XML_ENTITY_MAP[m.group(0)], value)
 
 
+class _Formatter:
+    """Output formatter spec (reference formatter.py:171-205).
+
+    Differences between the registry entries:
+    - entity substitution: minimal → &<> only; html/html5 → named
+      HTML5 entities (substitution.py:240-254); None → verbatim.
+    - void elements: html5 closes as <br> (void_element_close_prefix
+      None); the others as <br/>.
+    - html5 renders empty-string attributes as boolean attributes
+      (empty_attributes_are_booleans, formatter.py:188-192).
+    """
+
+    def __init__(self, substitute, void_close_prefix="/", empty_bool=False):
+        self.substitute = substitute
+        self.void_close_prefix = void_close_prefix
+        self.empty_bool = empty_bool
+
+
+def _formatter_registry() -> dict:
+    from bisque_spark.functions.substitution import substitute_html
+
+    return {
+        "minimal": _Formatter(substitute_xml),
+        "html": _Formatter(substitute_html),
+        "html5": _Formatter(
+            substitute_html, void_close_prefix="", empty_bool=True
+        ),
+        None: _Formatter(lambda s: s),
+    }
+
+
+def _resolve_formatter(formatter) -> _Formatter:
+    if isinstance(formatter, _Formatter):
+        return formatter
+    reg = _formatter_registry()
+    if formatter in reg:
+        return reg[formatter]
+    if callable(formatter):
+        # callable escape hatch: a custom substitution function, same
+        # as passing Formatter(entity_substitution=fn) to the reference
+        return _Formatter(formatter)
+    raise ValueError(f"unknown formatter: {formatter!r}")
+
+
 def quoted_attribute_value(value: str) -> str:
     """Quote-style selection per substitution.py:163-198."""
     quote_with = '"'
@@ -387,7 +439,7 @@ def quoted_attribute_value(value: str) -> str:
     return quote_with + value + quote_with
 
 
-def _open_tag(node: dict, self_closing: bool) -> str:
+def _open_tag(node: dict, self_closing: bool, fmt: _Formatter) -> str:
     attrs = node["attrs"] or {}
     parts = [f"<{node['name']}"]
     attr_bits = []
@@ -395,16 +447,25 @@ def _open_tag(node: dict, self_closing: bool) -> str:
         val = attrs[key]
         if is_cdata_list_attr(node["name"], key):
             val = " ".join(split_cdata_list(val))
-        text = substitute_xml(val)
+        if fmt.empty_bool and val == "":
+            # html5 boolean attribute form: <option selected>
+            attr_bits.append(key)
+            continue
+        text = fmt.substitute(val)
         attr_bits.append(f"{key}={quoted_attribute_value(text)}")
     if attr_bits:
         parts.append(" " + " ".join(attr_bits))
-    parts.append("/>" if self_closing else ">")
+    parts.append(f"{fmt.void_close_prefix}>" if self_closing else ">")
     return "".join(parts)
 
 
-def serialize_nodes(nodes: list[dict]) -> str:
-    """Flat node list → markup string (bisque ``str(soup)`` parity)."""
+def serialize_nodes(nodes: list[dict], formatter="minimal") -> str:
+    """Flat node list → markup string (bisque ``str(soup)`` parity).
+
+    ``formatter``: "minimal" (default) | "html" | "html5" | None | a
+    callable substitution function — the reference's formatter registry
+    (formatter.py:171-205)."""
+    fmt = _resolve_formatter(formatter)
     pieces: list[str] = []
     open_stack: list[dict] = []  # tag nodes awaiting their END
     for node in nodes:
@@ -415,12 +476,12 @@ def serialize_nodes(nodes: list[dict]) -> str:
         if kind == "tag":
             childless = node["subtree_end"] == node["pos"]
             if childless and node["name"] in EMPTY_ELEMENT_TAGS:
-                pieces.append(_open_tag(node, self_closing=True))
+                pieces.append(_open_tag(node, self_closing=True, fmt=fmt))
             elif childless:
-                pieces.append(_open_tag(node, self_closing=False))
+                pieces.append(_open_tag(node, self_closing=False, fmt=fmt))
                 pieces.append(f"</{node['name']}>")
             else:
-                pieces.append(_open_tag(node, self_closing=False))
+                pieces.append(_open_tag(node, self_closing=False, fmt=fmt))
                 open_stack.append(node)
         elif kind in _STRING_WRAPPERS:
             prefix, suffix = _STRING_WRAPPERS[kind]
@@ -428,33 +489,38 @@ def serialize_nodes(nodes: list[dict]) -> str:
         elif kind in _CDATA_CONTAINING_KINDS:
             pieces.append(node["text"])  # no substitution inside script/style
         else:  # text / template / rubytext / rubyparen
-            pieces.append(substitute_xml(node["text"]))
+            pieces.append(fmt.substitute(node["text"]))
     while open_stack:
         pieces.append(f"</{open_stack.pop()['name']}>")
     return "".join(pieces)
 
 
-def encode_nodes(nodes: list[dict], encoding: str = "utf-8") -> bytes:
+def encode_nodes(
+    nodes: list[dict], encoding: str = "utf-8", formatter="minimal"
+) -> bytes:
     """``Tag.encode`` (tag.py:539-567): serialize then encode with
     xmlcharrefreplace (characters outside the target charset become
     numeric entities)."""
-    return serialize_nodes(nodes).encode(encoding, "xmlcharrefreplace")
+    return serialize_nodes(nodes, formatter=formatter).encode(
+        encoding, "xmlcharrefreplace"
+    )
 
 
-def serialize_contents(nodes: list[dict], root_pos: int) -> str:
+def serialize_contents(nodes: list[dict], root_pos: int, formatter="minimal") -> str:
     """``Tag.decode_contents()`` (tag.py:812-866): children only, no
     enclosing tag markup."""
     root = nodes[root_pos]
     inner = nodes[root_pos + 1 : root["subtree_end"] + 1]
-    return serialize_nodes(inner)
+    return serialize_nodes(inner, formatter=formatter)
 
 
-def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:
+def prettify_nodes(nodes: list[dict], indent: str = " ", formatter="minimal") -> str:
     """Pretty-printed markup (Tag.decode(indent_level=True) parity,
     tag.py:569-703): one element per line, children indented, text
     stripped (empty → dropped), string-literal mode inside
     whitespace-preserving tags (<pre>/<textarea>) where the subtree is
     emitted inline."""
+    fmt = _resolve_formatter(formatter)
     pieces: list[str] = []
     open_stack: list[dict] = []
     level = 0
@@ -486,7 +552,7 @@ def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:
         if kind == "tag":
             childless = node["subtree_end"] == node["pos"]
             if childless and node["name"] in EMPTY_ELEMENT_TAGS:
-                emit(_open_tag(node, self_closing=True), is_string=False)
+                emit(_open_tag(node, self_closing=True, fmt=fmt), is_string=False)
             else:
                 # childless non-void tags still open/close on separate
                 # lines in pretty mode (START + END events)
@@ -496,10 +562,10 @@ def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:
                 ):
                     # entering string-literal mode: whitespace before,
                     # none after (tag.py:620-635)
-                    pieces.append(indent * level + _open_tag(node, False))
+                    pieces.append(indent * level + _open_tag(node, False, fmt))
                     literal_tag = node
                 else:
-                    emit(_open_tag(node, self_closing=False), is_string=False)
+                    emit(_open_tag(node, self_closing=False, fmt=fmt), is_string=False)
                 open_stack.append(node)
                 level += 1
         elif kind in _STRING_WRAPPERS:
@@ -508,7 +574,7 @@ def prettify_nodes(nodes: list[dict], indent: str = " ") -> str:
         elif kind in _CDATA_CONTAINING_KINDS:
             emit(node["text"], is_string=True)
         else:
-            emit(substitute_xml(node["text"]), is_string=True)
+            emit(fmt.substitute(node["text"]), is_string=True)
     while open_stack:
         closed = open_stack.pop()
         level -= 1
@@ -579,10 +645,14 @@ def string_of(nodes: list[dict], pos: int) -> str | None:
 
 
 def _match_string_value(have: str | None, want) -> bool:
-    """SoupStrainer string-value matching subset: str exact, regex
-    .search, True non-None (soup_strainer.py:214-288)."""
+    """SoupStrainer string-value matching: str exact, regex .search,
+    True non-None, callable(value) — callables are tried before the
+    None short-circuit, exactly like the reference (_matches checks
+    Callable before normalizing the markup, soup_strainer.py:214-232)."""
     if want is True:
         return have is not None
+    if callable(want) and not isinstance(want, re.Pattern):
+        return bool(want(have))
     if have is None:
         return False
     if isinstance(want, re.Pattern):
@@ -629,8 +699,17 @@ def find_all(
     for node in nodes[lo + 1 : hi + 1]:
         if node["kind"] != "tag":
             continue
-        if name is not None and name is not True and node["name"] != name:
-            continue
+        if name is not None and name is not True:
+            if callable(name) and not isinstance(name, re.Pattern):
+                # callable name predicate (soup_strainer.py:139-151);
+                # receives the node RECORD (the engine's Tag analogue)
+                if not name(node):
+                    continue
+            elif isinstance(name, re.Pattern):
+                if not name.search(node["name"]):
+                    continue
+            elif node["name"] != name:
+                continue
         if attrs:
             ok = True
             for k, want in attrs.items():
@@ -642,6 +721,25 @@ def find_all(
                     continue
                 if want is None:
                     if have is not None:
+                        ok = False
+                        break
+                    continue
+                if callable(want) and not isinstance(want, re.Pattern):
+                    # callable attr predicate — called with the raw
+                    # value (None included), per-element for
+                    # multi-valued attrs then the joined whole
+                    # (soup_strainer.py:214-232)
+                    if have is not None and is_cdata_list_attr(
+                        node["name"], k
+                    ):
+                        vals = split_cdata_list(have)
+                        if not (
+                            any(want(v) for v in vals)
+                            or want(" ".join(vals))
+                        ):
+                            ok = False
+                            break
+                    elif not want(have):
                         ok = False
                         break
                     continue

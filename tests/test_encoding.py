@@ -100,3 +100,38 @@ def test_declared_encoding():
     # html meta only searched in the head window
     far = b" " * 5000 + b"<meta charset='utf-8'>"
     assert find_declared_encoding(far, is_html=True) is None
+
+
+def test_smart_quotes_to_modes_match_reference():
+    """smart_quotes_to = ascii | xml | html | None byte-parity vs
+    UnicodeDammit (detection.py:287,335-371), incl. the empty-hex Yuml
+    quirk (&#x; in xml mode) and the undefined-cp1252-byte fallbacks."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque.dammit import UnicodeDammit
+
+    from bisque_spark.functions.encoding import decode_html
+
+    samples = [
+        "“smart” ‘quotes’ €100 … – — Š ž Ÿ ƒ".encode("windows-1252"),
+        bytes(range(0x80, 0xA0)) + b" plain text",
+        b"no control bytes at all",
+    ]
+    for mode in ("ascii", "xml", "html", None):
+        for markup in samples:
+            ref = UnicodeDammit(
+                markup,
+                known_definite_encodings=["windows-1252"],
+                smart_quotes_to=mode,
+            )
+            text, enc, _ = decode_html(
+                markup, known_definite=("windows-1252",), smart_quotes_to=mode
+            )
+            assert text == ref.unicode_markup, (mode, markup[:20])
+            assert enc == ref.original_encoding
+    # non-smart-quote codec: bytes pass through untouched even with a mode
+    utf = "plain é text".encode("utf-8")
+    ref = UnicodeDammit(utf, known_definite_encodings=["utf-8"], smart_quotes_to="html")
+    text, _, _ = decode_html(utf, known_definite=("utf-8",), smart_quotes_to="html")
+    assert text == ref.unicode_markup == "plain é text"

@@ -161,3 +161,23 @@ def test_unwrap_decrements_depth_for_whole_subtree():
         assert n["depth"] == d, (n, depth_of)
     assert by_name["b"]["depth"] == 1
     assert by_name["i"]["depth"] == 2
+
+
+def test_clear_matches_reference():
+    """clear() keeps the tag, drops its contents (tag.py:368-383) —
+    serialize byte-parity vs the reference."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    from bisque_spark.operators.mutate import clear
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+
+    doc = "<div><p>one<b>two</b></p><span>tail</span></div>"
+    soup = Bisque(doc, features="html.parser")
+    soup.p.clear()
+    nodes = parse_nodes(doc)
+    p = next(n for n in nodes if n["name"] == "p")
+    got = serialize_nodes(clear(nodes, p["pos"]))
+    assert got == str(soup) == "<div><p></p><span>tail</span></div>"

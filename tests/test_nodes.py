@@ -208,3 +208,113 @@ def test_strainer_string_with_name_raises():
 
     with _pytest.raises(NotImplementedError):
         strainer("p", string="x")
+
+
+def test_callable_strainer_matches_reference_over_bad_document(spark):
+    """Callable predicate lane (slow path) vs the reference's callable
+    SoupStrainer over BAD_DOCUMENT (soup_strainer.py:139-151)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque.tests import BAD_DOCUMENT
+
+    from bisque_spark.operators.nodes import callable_strainer
+
+    pages = spark.createDataFrame([("bad", BAD_DOCUMENT)], "url string, text string")
+    bad_nodes = explode_nodes(pages)
+
+    def node_pred(n):
+        return (
+            n["kind"] == "tag"
+            and n["name"] is not None
+            and len(n["name"]) > 2
+            and "c" in n["name"]
+        )
+
+    got = sorted(
+        r["name"] for r in bad_nodes.where(callable_strainer(node_pred)).collect()
+    )
+
+    def tag_pred(tag):
+        return tag.name is not None and len(tag.name) > 2 and "c" in tag.name
+
+    want = sorted(t.name for t in ref_soup(BAD_DOCUMENT).find_all(tag_pred))
+    assert got == want and len(got) > 0
+
+
+def test_callable_predicates_per_document():
+    """parse.find_all with callable name / attr / string predicates ==
+    the reference's callable strainers."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+
+    from bisque_spark.parse import find_all as pd_find_all
+    from bisque_spark.parse import parse_nodes
+
+    doc = DOCS[0][1]
+    soup = ref_soup(doc)
+    nodes = parse_nodes(doc)
+
+    # callable name: our lane gets node records, the reference gets Tags
+    got = [n["name"] for n in pd_find_all(nodes, lambda n: n["name"] == "p")]
+    want = [t.name for t in soup.find_all(lambda t: t.name == "p")]
+    assert got == want
+
+    # callable attr value (None reaches the callable when attr absent)
+    got = [
+        n["name"]
+        for n in pd_find_all(
+            nodes, "p", {"class": lambda v: v is not None and "caption" in v}
+        )
+    ]
+    want = [
+        t.name
+        for t in soup.find_all(
+            "p", {"class": lambda v: v is not None and "caption" in v}
+        )
+    ]
+    assert got == want and got
+
+    got = [n["name"] for n in pd_find_all(nodes, "p", {"id": lambda v: v is None})]
+    want = [t.name for t in soup.find_all("p", {"id": lambda v: v is None})]
+    assert got == want and got
+
+    # callable string co-filter: the reference REJECTS callables here
+    # (its Pydantic SoupStrainer schema types string as
+    # str|list|bool|regex — verified: ValidationError); ours accepts
+    # them as a superset, with _matches' callable-first semantics
+    got = [
+        (n["name"], string_of_p(nodes, n))
+        for n in pd_find_all(nodes, "p", string=lambda s: s is not None and "o" in s)
+    ]
+    # both <p>one</p> and <p class="caption wide">two</p> contain "o"
+    assert [g[0] for g in got] == ["p", "p"]
+    assert all("o" in g[1] for g in got)
+
+
+def string_of_p(nodes, node):
+    from bisque_spark.parse import string_of
+
+    return string_of(nodes, node["pos"])
+
+
+def test_on_duplicate_attribute_callable():
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    from bisque_spark.parse import parse_nodes
+
+    doc = '<a href="u1" href="u2" href="u3">x</a>'
+
+    def accumulate(d, key, value):
+        d[key] = d[key] + " " + value
+
+    soup = Bisque(
+        doc, features="html.parser", on_duplicate_attribute=accumulate
+    )
+    nodes = parse_nodes(doc, on_duplicate_attribute=accumulate)
+    a = next(n for n in nodes if n["name"] == "a")
+    assert a["attrs"]["href"] == soup.a["href"] == "u1 u2 u3"

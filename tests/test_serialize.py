@@ -98,3 +98,75 @@ def test_serialize_details():
     # idempotent re-parse (fixpoint)
     once = serialize_nodes(parse_nodes(doc2))
     assert serialize_nodes(parse_nodes(once)) == once
+
+
+def test_formatter_registry_matches_reference():
+    """formatter="html"/"html5"/None byte-parity vs the reference
+    registry (formatter.py:171-205, formatter_test.py:49-77)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+
+    docs = [
+        '<p>café crème &amp; "déjà vu" — <b>’smart‘</b></p>',
+        '<option selected=""></option>',
+        "<option selected></option>",
+        '<br/><img src="x"><hr>',
+        "<p>≧̸ and ≧ differ</p>",
+        '<div class="a  b" data-x="1&amp;2"><pre> keep &lt; raw </pre></div>',
+        "<script>a &lt; b && c</script><style>a>b{}</style>",
+    ]
+    for doc in docs:
+        soup = Bisque(doc, features="html.parser")
+        nodes = parse_nodes(doc)
+        for fmt in ("minimal", "html", "html5", None):
+            got = serialize_nodes(nodes, formatter=fmt)
+            want = soup.decode(formatter=fmt)
+            assert got == want, (doc, fmt, got, want)
+
+
+def test_substitute_html_differential():
+    """Named-entity substitution == reference EntitySubstitution over
+    every single-char entity + lookahead edge cases."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque.dammit import EntitySubstitution as Ref
+
+    from bisque_spark.functions.substitution import (
+        substitute_html,
+        substitute_xml_containing_entities,
+    )
+
+    for ch in list(Ref.CHARACTER_TO_HTML_ENTITY):
+        assert substitute_html(ch) == Ref.substitute_html(ch), repr(ch)
+        assert substitute_html(ch + "x") == Ref.substitute_html(ch + "x")
+    for s in ["&amp; & &#65; &#x41; &bogus ; <>&", "a&b;c & d"]:
+        assert substitute_xml_containing_entities(
+            s
+        ) == Ref.substitute_xml_containing_entities(s)
+
+
+def test_formatter_callable_escape_hatch():
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+
+    nodes = parse_nodes("<p>a & b</p>")
+    got = serialize_nodes(nodes, formatter=lambda s: s.upper())
+    assert got == "<p>A & B</p>"
+
+
+def test_prettify_formatter_html_matches_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    from bisque_spark.parse import parse_nodes, prettify_nodes
+
+    doc = '<div><p>café &amp; crème</p><pre> keep </pre></div>'
+    soup = Bisque(doc, features="html.parser")
+    got = prettify_nodes(parse_nodes(doc), formatter="html")
+    assert got == soup.prettify(formatter="html")
