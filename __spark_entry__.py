@@ -540,11 +540,28 @@ def _q_customers_without_orders(spark, sf_dir):
 def _q_active_users_both_types(spark, sf_dir):
     """INTERSECT shape: users with both 'click' and 'view' events
     (semi-join composition)."""
+    from pyspark.sql import Window
+
     ev = _load(spark, sf_dir, "events")
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
-    t1, t2 = sorted(types)[:2]
-    a = ev.where(F.col("event_type") == t1).select("user_id").distinct()
-    b = ev.where(F.col("event_type") == t2).select("user_id").distinct()
+    # the two smallest event types are selected INSIDE the query (rank
+    # over the distinct-type dimension, broadcast back) — no driver
+    # collect at plan-build time (VERDICT r01 minor #8)
+    tw = Window.orderBy("event_type")
+    tt = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("rk", F.row_number().over(tw))
+    )
+    a = (
+        ev.join(F.broadcast(tt.where(F.col("rk") == 1)).drop("rk"), "event_type")
+        .select("user_id")
+        .distinct()
+    )
+    b = (
+        ev.join(F.broadcast(tt.where(F.col("rk") == 2)).drop("rk"), "event_type")
+        .select("user_id")
+        .distinct()
+    )
     return a.intersect(b)
 
 
@@ -552,6 +569,9 @@ def _q_events_pivot_by_type(spark, sf_dir):
     """Pivot shape (portable CASE WHEN form): per-user counts by the
     first three event types."""
     ev = _load(spark, sf_dir, "events")
+    # pivot COLUMNS are plan-time by nature (fixed output schema), so
+    # the type domain is discovered with one tiny distinct job — the
+    # same thing Spark's own df.pivot(col) does when values are omitted
     types = sorted(
         r["event_type"] for r in ev.select("event_type").distinct().collect()
     )[:3]
@@ -645,16 +665,26 @@ def _q_serialize_roundtrip(spark, sf_dir):
 def _q_events_asof_join(spark, sf_dir):
     """As-of join: each event of the first type gets the most recent
     prior-or-equal event value of the second type for the same user."""
+    from pyspark.sql import Window
+
     from bisque_spark.operators.asof import asof_join
 
     ev = _load(spark, sf_dir, "events")
-    types = sorted(
-        r["event_type"] for r in ev.select("event_type").distinct().collect()
-    )[:2]
-    left = ev.where(F.col("event_type") == types[0]).select(
-        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    # first/second event type selected inside the query (rank over the
+    # distinct-type dimension, broadcast semi-join) — no plan-build
+    # collect (VERDICT r01 minor #8)
+    tw = Window.orderBy("event_type")
+    tt = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("rk", F.row_number().over(tw))
     )
-    right = ev.where(F.col("event_type") == types[1]).select(
+    left = ev.join(
+        F.broadcast(tt.where(F.col("rk") == 1)).drop("rk"), "event_type"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = ev.join(
+        F.broadcast(tt.where(F.col("rk") == 2)).drop("rk"), "event_type"
+    ).select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").alias("rv"),

@@ -284,7 +284,8 @@ def scaling() -> None:
             f"{fx_lo['urls_per_sec']} urls/s | local[{hi}]: "
             f"{fx_hi['urls_per_sec']} urls/s | efficiency {fx_eff} "
             f"(target ≥0.8) |\n"
-            f"| full crawl {BENCH_WORLD} x{BENCH_EPOCHS} epochs | local[{lo}]: "
+            f"| full crawl {SCALING_WORLD} x{BENCH_EPOCHS} epochs "
+            f"(session warmed) | local[{lo}]: "
             f"{cr_lo['urls_per_sec']} urls/s | local[{hi}]: "
             f"{cr_hi['urls_per_sec']} urls/s | efficiency {cr_eff} "
             f"(fixed per-epoch commit cost dominates at sandbox scale) |\n"

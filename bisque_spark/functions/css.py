@@ -7,11 +7,13 @@ records (bisque_spark.parse) — per-document inside a pandas UDF, the
 same execution slot as the extractor (SURVEY.md §3.3).
 
 Supported subset (the reference test corpus's coverage,
-src/bisque/tests/css_test.py): tag, ``*``, ``.class``, ``#id``,
-``[attr]``, ``[attr=v]``, ``[attr~=v]``, ``[attr^=v]``, ``[attr$=v]``,
-``[attr*=v]``, ``:nth-of-type(n)``, ``:first-of-type``, the
-descendant / ``>`` / ``+`` / ``~`` combinators, and ``,`` grouping.
-Quoted attribute values may use single or double quotes.
+src/bisque/tests/css_test.py, plus the common pseudo-classes): tag,
+``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=v]``, ``[attr~=v]``,
+``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, ``:nth-of-type(n)``,
+``:first-of-type``, ``:nth-child(an+b|odd|even|n)``, ``:first-child``,
+``:last-child``, ``:not(<compound>)``, the descendant / ``>`` / ``+``
+/ ``~`` combinators, and ``,`` grouping. Quoted attribute values may
+use single or double quotes and may contain spaces/brackets.
 """
 
 from __future__ import annotations
@@ -26,12 +28,45 @@ _TOKEN_RE = re.compile(
     (?P<tag>[a-zA-Z][\w-]*|\*)
   | \#(?P<id>[\w-]+)
   | \.(?P<cls>[\w-]+)
-  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<q>['"]?)(?P<val>[^\]'"]*)(?P=q))?\]
+  | \[(?P<attr>[\w-]+)
+        (?:(?P<op>[~^$*|]?=)
+           (?: (?P<q>['"])(?P<qval>.*?)(?P=q)   # quoted: spaces allowed
+             | (?P<val>[^\]'"]*)                # bare: up to the bracket
+           )
+        )?\]
   | :nth-of-type\((?P<nth>\d+)\)
   | :first-of-type
+  | :nth-child\(\s*(?P<nthc>[^)]+?)\s*\)
+  | :first-child
+  | :last-child
+  | :not\((?P<notsel>[^)]+)\)
     """,
     re.VERBOSE,
 )
+
+
+def _parse_nth(expr: str) -> tuple[int, int]:
+    """'an+b' | 'odd' | 'even' | 'b' → (a, b) per the CSS spec."""
+    expr = expr.strip().lower().replace(" ", "")
+    if expr == "odd":
+        return 2, 1
+    if expr == "even":
+        return 2, 0
+    m = re.fullmatch(r"([+-]?\d*)n([+-]\d+)?", expr)
+    if m:
+        a_txt = m.group(1)
+        a = int(a_txt) if a_txt not in ("", "+", "-") else (-1 if a_txt == "-" else 1)
+        b = int(m.group(2) or 0)
+        return a, b
+    return 0, int(expr)
+
+
+def _nth_matches(a: int, b: int, idx: int) -> bool:
+    """Does child index ``idx`` (1-based) satisfy an+b for some n≥0?"""
+    if a == 0:
+        return idx == b
+    n, rem = divmod(idx - b, a)
+    return rem == 0 and n >= 0
 
 
 @dataclass
@@ -41,6 +76,9 @@ class Simple:
     classes: list[str] = field(default_factory=list)
     attrs: list[tuple[str, str | None, str | None]] = field(default_factory=list)
     nth_of_type: int | None = None
+    nth_child: tuple[int, int] | None = None  # (a, b) of an+b
+    last_child: bool = False
+    negated: list["Simple"] = field(default_factory=list)
 
 
 def _parse_compound(text: str) -> Simple:
@@ -57,29 +95,100 @@ def _parse_compound(text: str) -> Simple:
         elif m.group("cls"):
             simple.classes.append(m.group("cls"))
         elif m.group("attr"):
-            simple.attrs.append((m.group("attr"), m.group("op"), m.group("val")))
+            val = m.group("qval") if m.group("q") else m.group("val")
+            simple.attrs.append((m.group("attr"), m.group("op"), val))
         elif m.group("nth"):
             simple.nth_of_type = int(m.group("nth"))
         elif m.group(0) == ":first-of-type":
             simple.nth_of_type = 1
+        elif m.group("nthc"):
+            simple.nth_child = _parse_nth(m.group("nthc"))
+        elif m.group(0) == ":first-child":
+            simple.nth_child = (0, 1)
+        elif m.group(0) == ":last-child":
+            simple.last_child = True
+        elif m.group("notsel"):
+            # :not(compound) — no combinators inside (CSS level 3)
+            simple.negated.append(_parse_compound(m.group("notsel").strip()))
         pos = m.end()
     return simple
+
+
+def _split_top(selector: str, sep: str) -> list[str]:
+    """Split on ``sep`` only at bracket/paren depth 0 outside quotes —
+    a comma or space inside :nth-child(2n+1) or [title="a, b"] is data,
+    not syntax."""
+    parts, buf = [], []
+    depth, quote = 0, None
+    for ch in selector:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch == sep:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _tokenize_chain(alt: str) -> list[str]:
+    """compound/combinator tokens, depth- and quote-aware."""
+    toks: list[str] = []
+    buf: list[str] = []
+    depth, quote = 0, None
+
+    def flush():
+        if buf:
+            toks.append("".join(buf))
+            buf.clear()
+
+    for ch in alt:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in ">+~":
+            flush()
+            toks.append(ch)
+        elif depth == 0 and ch.isspace():
+            flush()
+        else:
+            buf.append(ch)
+    flush()
+    return toks
 
 
 def parse_selector(selector: str) -> list[list[tuple[str, Simple]]]:
     """'div > p.x, a' → [[(' ', div), ('>', p.x)], [(' ', a)]]."""
     groups = []
-    for alt in selector.split(","):
+    for alt in _split_top(selector, ","):
         alt = alt.strip()
         if not alt:
             continue
-        # normalize combinator spacing, then split into tokens
-        # (`~` is a combinator only when not part of a `~=` attr op)
-        alt = re.sub(r"\s*(>|\+|~(?!=))\s*", r" \1 ", alt)
-        parts = alt.split()
         chain: list[tuple[str, Simple]] = []
         comb = " "
-        for part in parts:
+        for part in _tokenize_chain(alt):
             if part in (">", "+", "~"):
                 comb = part
                 continue
@@ -140,6 +249,15 @@ class _DocIndex:
             node["pos"]
         ) + 1
 
+    def child_index(self, node: dict) -> int:
+        """1-based index among the parent's TAG children (CSS
+        :nth-child counts elements only)."""
+        return self.tag_children[node["parent_pos"]].index(node["pos"]) + 1
+
+    def is_last_child(self, node: dict) -> bool:
+        sibs = self.tag_children[node["parent_pos"]]
+        return sibs[-1] == node["pos"]
+
     def prev_tag_sibling(self, node: dict) -> dict | None:
         sibs = self.tag_children.get(node["parent_pos"], [])
         i = sibs.index(node["pos"])
@@ -170,6 +288,15 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
             return False
     if simple.nth_of_type is not None and idx.nth_of_type(node) != simple.nth_of_type:
         return False
+    if simple.nth_child is not None and not _nth_matches(
+        *simple.nth_child, idx.child_index(node)
+    ):
+        return False
+    if simple.last_child and not idx.is_last_child(node):
+        return False
+    for neg in simple.negated:
+        if _matches_simple(node, neg, idx):
+            return False
     return True
 
 

@@ -495,15 +495,59 @@ def serialize_nodes(nodes: list[dict], formatter="minimal") -> str:
     return "".join(pieces)
 
 
+# Python-only codec names that are never valid HTML charsets — a meta
+# charset being rewritten to one of these is emptied instead
+# (reference element/encodings.py:18-36; these are stdlib codec facts)
+PYTHON_SPECIFIC_ENCODINGS = frozenset(
+    {
+        "idna", "mbcs", "oem", "palmos", "punycode", "undefined",
+        "raw_unicode_escape", "unicode_escape", "raw-unicode-escape",
+        "unicode-escape", "string-escape", "string_escape",
+    }
+)
+_CONTENT_CHARSET_RE = re.compile(r"((^|;)\s*charset=)([^;]*)", re.M)
+
+
+def _rewrite_meta_charset(nodes: list[dict], encoding: str) -> list[dict]:
+    """On output-encode, a <meta charset> (HTML5) or <meta http-equiv=
+    content-type content="...charset=..."> (HTML4) declares the NEW
+    encoding (reference attributes.py:40-85 + html_builder.py:160-183).
+    Python-specific codec names are emptied."""
+    out = []
+    sub = "" if encoding in PYTHON_SPECIFIC_ENCODINGS else encoding
+    for n in nodes:
+        if n["kind"] == "tag" and n["name"] == "meta" and n["attrs"]:
+            attrs = n["attrs"]
+            http_equiv = attrs.get("http-equiv")
+            if "charset" in attrs:
+                n = {**n, "attrs": {**attrs, "charset": sub}}
+            elif (
+                "content" in attrs
+                and http_equiv is not None
+                and http_equiv.lower() == "content-type"
+                and _CONTENT_CHARSET_RE.search(attrs["content"])
+            ):
+                if sub == "":
+                    new_content = ""
+                else:
+                    new_content = _CONTENT_CHARSET_RE.sub(
+                        lambda m: m.group(1) + sub, attrs["content"]
+                    )
+                n = {**n, "attrs": {**attrs, "content": new_content}}
+        out.append(n)
+    return out
+
+
 def encode_nodes(
     nodes: list[dict], encoding: str = "utf-8", formatter="minimal"
 ) -> bytes:
     """``Tag.encode`` (tag.py:539-567): serialize then encode with
     xmlcharrefreplace (characters outside the target charset become
-    numeric entities)."""
-    return serialize_nodes(nodes, formatter=formatter).encode(
-        encoding, "xmlcharrefreplace"
-    )
+    numeric entities); meta charset declarations are rewritten to the
+    target encoding first (attributes.py:40-85)."""
+    return serialize_nodes(
+        _rewrite_meta_charset(nodes, encoding), formatter=formatter
+    ).encode(encoding, "xmlcharrefreplace")
 
 
 def serialize_contents(nodes: list[dict], root_pos: int, formatter="minimal") -> str:

@@ -136,3 +136,51 @@ def test_parse_errors():
         parse_selector("p::before")
     with pytest.raises(ValueError):
         parse_selector("")
+
+
+def test_pseudo_classes_not_nth_child():
+    """:not / :nth-child(an+b|odd|even) / :first-child / :last-child —
+    cross-checked against hand-derived expectations and soupsieve
+    semantics (elements-only child counting)."""
+    from bisque_spark.functions.css import select
+    from bisque_spark.parse import parse_nodes
+
+    doc = (
+        '<ul>'
+        '<li class="a">1</li><li>2</li><li class="a b">3</li>'
+        '<li>4</li><li class="x">5</li>'
+        '</ul><div><p>only</p></div>'
+    )
+    nodes = parse_nodes(doc)
+
+    def texts(sel):
+        out = []
+        for n in select(nodes, sel):
+            nxt = nodes[n["pos"] + 1]
+            out.append(nxt["text"] if nxt["kind"] == "text" else None)
+        return out
+
+    assert texts("li:not(.a)") == ["2", "4", "5"]
+    assert texts("li:not([class])") == ["2", "4"]
+    assert texts("li:nth-child(2)") == ["2"]
+    assert texts("li:nth-child(odd)") == ["1", "3", "5"]
+    assert texts("li:nth-child(even)") == ["2", "4"]
+    assert texts("li:nth-child(2n+1)") == ["1", "3", "5"]
+    assert texts("li:nth-child(3n)") == ["3"]
+    assert texts("li:nth-child(-n+2)") == ["1", "2"]
+    assert texts("li:first-child") == ["1"]
+    assert texts("li:last-child") == ["5"]
+    assert texts("p:first-child") == ["only"]
+    assert texts("ul :not(.a):not(.x)") == ["2", "4"]
+
+
+def test_attr_value_with_spaces():
+    from bisque_spark.functions.css import select
+    from bisque_spark.parse import parse_nodes
+
+    doc = '<a title="hello world" href="/x">t</a><a title="bye">u</a>'
+    nodes = parse_nodes(doc)
+    assert len(select(nodes, '[title="hello world"]')) == 1
+    assert len(select(nodes, "[title='hello world']")) == 1
+    assert len(select(nodes, '[title*="lo wo"]')) == 1
+    assert len(select(nodes, '[title="hello"]')) == 0

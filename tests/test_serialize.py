@@ -170,3 +170,29 @@ def test_prettify_formatter_html_matches_reference():
     soup = Bisque(doc, features="html.parser")
     got = prettify_nodes(parse_nodes(doc), formatter="html")
     assert got == soup.prettify(formatter="html")
+
+
+def test_meta_charset_rewrite_on_encode():
+    """encode() rewrites <meta charset> / HTML4 content-type charset to
+    the target encoding (attributes.py:40-85) — byte-parity vs the
+    reference, incl. the Python-specific-codec empty form and the
+    untouched non-content-type meta."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from bisque import Bisque
+
+    from bisque_spark.parse import encode_nodes, parse_nodes
+
+    docs = [
+        '<html><head><meta charset="utf8"></head><body>café</body></html>',
+        '<html><head><meta http-equiv="Content-type" '
+        'content="text/html; charset=x-sjis"></head>é</html>',
+        '<html><head><meta http-equiv="refresh" content="5; url=x"></head></html>',
+        '<meta content="text/html; charset=latin1">',
+    ]
+    for enc in ("utf-8", "euc-jp", "unicode_escape"):
+        for doc in docs:
+            ref = Bisque(doc, features="html.parser").encode(enc)
+            got = encode_nodes(parse_nodes(doc), enc)
+            assert got == ref, (enc, doc)
