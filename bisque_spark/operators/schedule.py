@@ -67,7 +67,10 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def politeness_select(
-    frontier: DataFrame, budget_base: int, n_salts: int = N_HOST_SALTS
+    frontier: DataFrame,
+    budget_base: int,
+    n_salts: int = N_HOST_SALTS,
+    two_phase: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Split an epoch's frontier into (scheduled, deferred).
 
@@ -75,21 +78,35 @@ def politeness_select(
     Returns scheduled rows with a deterministic ``host_rank`` (the
     within-host fetch order) and the deferred remainder (budget
     overflow) with scheduling columns dropped.
+
+    ``two_phase=False`` skips the salted pre-rank (one window/shuffle
+    instead of two). The two paths are result-identical — phase 1 is a
+    safe over-approximation (pinned by tests) — so callers that KNOW
+    the frontier is small (e.g. from parquet footer counts) can drop
+    the skew armor; at 10^10 frontiers the salted phase is mandatory.
     """
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(budget_base) / F.col("crawl_delay"))
     ).cast("int")
+    order = [F.desc("priority"), F.asc("url_hash")]
+    w2 = Window.partitionBy("host").orderBy(*order)
+    if not two_phase:
+        df = frontier.withColumn("budget", budget)
+        ranked = df.withColumn("host_rank", F.row_number().over(w2))
+        scheduled = ranked.where(F.col("host_rank") <= F.col("budget"))
+        deferred = ranked.where(F.col("host_rank") > F.col("budget")).drop(
+            "host_rank"
+        )
+        return scheduled.drop("budget"), deferred.drop("budget")
     df = frontier.withColumn("budget", budget).withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(n_salts))
     )
-    order = [F.desc("priority"), F.asc("url_hash")]
     # phase 1: parallel pre-rank within (host, salt); safe over-approx
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
     pre = df.withColumn("salt_rank", F.row_number().over(w1))
     survivors = pre.where(F.col("salt_rank") <= F.col("budget")).drop("salt_rank")
     spilled = pre.where(F.col("salt_rank") > F.col("budget")).drop("salt_rank")
     # phase 2: exact per-host rank over the ≤ n_salts·budget survivors
-    w2 = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
     scheduled = ranked.where(F.col("host_rank") <= F.col("budget"))
     deferred_extra = ranked.where(F.col("host_rank") > F.col("budget")).drop(

@@ -259,15 +259,24 @@ def run_crawl(
     while epoch < max_epochs and frontier is not None:
         t = time.time()
         # every frontier (seed included) is parquet-backed: emptiness
-        # from parquet footers — a driver-local metadata read, no Spark
-        # job. Fall back to isEmpty for a caller-supplied live plan.
+        # (and size) from parquet footers — a driver-local metadata
+        # read, no Spark job. Fall back to isEmpty for a caller-supplied
+        # live plan.
+        frontier_rows = None
         if frontier_on_disk is not None:
-            if _parquet_num_rows(frontier_on_disk) == 0:
+            frontier_rows = _parquet_num_rows(frontier_on_disk)
+            if frontier_rows == 0:
                 break
         elif frontier.isEmpty():
             break
         t = _tick("frontier-empty check", t)
-        scheduled, deferred = politeness_select(frontier, world.host_budget_base)
+        # the salted two-phase rank is skew armor for huge frontiers;
+        # below ~200k rows the single exact window is result-identical
+        # and one shuffle cheaper (footer count makes this free)
+        two_phase = frontier_rows is None or frontier_rows > 200_000
+        scheduled, deferred = politeness_select(
+            frontier, world.host_budget_base, two_phase=two_phase
+        )
         scheduled = scheduled.persist()
         order_log = scheduled.select(
             F.lit(epoch).alias("epoch"),

@@ -52,3 +52,32 @@ def test_budget_binds_per_host(spark):
     scheduled, _ = politeness_select(frontier, budget_base=3)  # budget 1
     per_host = scheduled.groupBy("host").count().collect()
     assert all(r["count"] == 1 for r in per_host)
+
+
+def test_single_phase_equals_two_phase(spark):
+    """two_phase=False is result-identical to the salted two-phase
+    path (the adaptive small-frontier fast path in the crawl loop)."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.schedule import politeness_select
+
+    rows = [
+        (f"http://h{i % 7}.test/p{i}", i % 7, float(-(i % 3)), 1.0 + (i % 2))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, hostnum int, priority double, crawl_delay double"
+    ).select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.concat(F.lit("h"), F.col("hostnum")).alias("host"),
+        "priority",
+        "crawl_delay",
+    )
+    s2, d2 = politeness_select(df, 4, two_phase=True)
+    s1, d1 = politeness_select(df, 4, two_phase=False)
+    key = lambda r: (r["host"], r["host_rank"], r["url_hash"])
+    assert sorted(map(key, s1.collect())) == sorted(map(key, s2.collect()))
+    assert sorted(r["url_hash"] for r in d1.collect()) == sorted(
+        r["url_hash"] for r in d2.collect()
+    )
