@@ -257,6 +257,38 @@ def _q_doc_langid(spark, sf_dir):
     )
 
 
+def _q_doc_lang_run_clusters(spark, sf_dir):
+    """Connected components (iterative min-label propagation) over a
+    deterministic SQL-expressible edge set: consecutive doc_ids with
+    the same lang form chain edges; clusters = maximal same-lang runs.
+    Oracle = DuckDB recursive CTE (reachability closure + min label)."""
+    from bisque_spark.operators.cluster import connected_components
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select(
+        F.col("doc_id").alias("bid"), F.col("lang").alias("blang")
+    )
+    edges = docs.join(
+        nxt,
+        (F.col("bid") == F.col("doc_id") + 1) & (F.col("blang") == F.col("lang")),
+    ).select(F.col("doc_id").alias("id_a"), F.col("bid").alias("id_b"))
+    return connected_components(edges).select("id", "cluster_id")
+
+
+def _q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: connected components over the
+    MinHash+LSH pair graph (the step after pair generation in a
+    training-data dedup pipeline). Oracle = pytest union-find
+    (tests/test_cluster.py); rows-only here — the pair set itself is
+    not SQL-expressible."""
+    from bisque_spark.operators.cluster import connected_components
+    from bisque_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35)
+    return connected_components(pairs).select("id", "cluster_id")
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from bisque_spark.functions.text import fingerprint_udf
 
@@ -735,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_lang_run_clusters": _q_doc_lang_run_clusters,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "extract_captions": _q_extract_captions,
         "crawl_epoch_schedule": _q_crawl_epoch,
         "image_features": _q_image_features,
@@ -782,6 +816,26 @@ def oracle_sql() -> dict[str, str]:
         + " ELSE 'und' END"
     )
     return {
+        "doc_lang_run_clusters": """
+            WITH RECURSIVE fwd AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+            ), edges AS (
+                SELECT src, dst FROM fwd
+                UNION ALL
+                SELECT dst, src FROM fwd
+            ), verts AS (
+                SELECT DISTINCT src AS id FROM edges
+            ), reach(id, lbl) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
+        """,
         "doc_langid": f"""
             WITH w AS (
                 SELECT doc_id,

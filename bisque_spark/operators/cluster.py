@@ -1,0 +1,91 @@
+"""Duplicate-cluster formation: connected components over near-dup pairs.
+
+The step a training-data pipeline runs AFTER pair generation (exact /
+MinHash / SimHash / embedding near-dup pairs all produce (id_a, id_b)
+edges): group transitively-connected documents into clusters and keep
+one canonical representative per cluster. The reference has no
+analogue (it is a single-document library); this is a scale-out
+engine operator like dedup.py/similarity.py (task brief).
+
+Spark-first shape: iterative hash-min label propagation (the classic
+Pregel-style small-star algorithm's simple variant) —
+    label(v) ← min(label(v), min over neighbors' labels)
+each round is ONE shuffle (edge⋈label join + min-agg); convergence in
+O(graph diameter) rounds, which for near-dup graphs is tiny (dup
+clusters are dense). Each round ends in ``localCheckpoint`` so the
+iterative loop's lineage stays flat (the same discipline as the crawl
+loop's per-epoch re-read). Labels are ids, min wins ⇒ fully
+deterministic output: cluster_id = smallest id in the component.
+
+Scale: state is (id, label) — 16 bytes/vertex; the edge table is
+re-used every round (persisted). No driver-side state beyond the
+per-round convergence flag (an isEmpty on the changed-set — one cheap
+action per round, unavoidable for an iterative fixpoint).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id_a, id_b) edge table → (id, cluster_id) with cluster_id =
+    min id in the connected component. Vertices = every id appearing
+    in the edge table."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        cand = sym.join(
+            labels.withColumnRenamed("id", "a"), "a"
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # materialize + truncate lineage per round
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "id"
+            )
+            .where(F.col("label") != F.col("old"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    sym.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every row whose id sits in a near-dup cluster but is not
+    the cluster's minimum id (the canonical representative). Rows that
+    appear in no pair are kept unchanged — only duplicates pay."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    losers = comps.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
