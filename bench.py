@@ -55,10 +55,28 @@ def _force(df) -> int:
     return 0
 
 
+def _warm_session(spark) -> None:
+    """JVM codegen + python-worker fork + parquet reader warmup so the
+    first measured query doesn't absorb constant session startup."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def ident(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"x": pdf["id"]})
+
+    spark.range(10_000).mapInPandas(ident, "x long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    _warm_session(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
