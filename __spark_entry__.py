@@ -257,6 +257,19 @@ def _q_doc_langid(spark, sf_dir):
     )
 
 
+def _q_doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (GPT-2 pretokenizer pieces, lookahead-free
+    subset so Java regex and DuckDB RE2 agree) next to the whitespace
+    count — the 'how many tokens will this cost' curation estimator."""
+    from bisque_spark.functions.text import bpe_token_count_col, token_count_col
+
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col("text").alias("ws_tokens"),
+        bpe_token_count_col("text").alias("bpe_tokens"),
+    )
+
+
 def _q_doc_lang_run_clusters(spark, sf_dir):
     """Connected components (iterative min-label propagation) over a
     deterministic SQL-expressible edge set: consecutive doc_ids with
@@ -767,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_lang_run_clusters": _q_doc_lang_run_clusters,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "extract_captions": _q_extract_captions,
@@ -816,6 +830,17 @@ def oracle_sql() -> dict[str, str]:
         + " ELSE 'und' END"
     )
     return {
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS ws_tokens,
+                   len(list_filter(
+                       regexp_extract_all(text,
+                           $$'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$),
+                       p -> trim(p) != '')) AS bpe_tokens
+            FROM documents
+        """,
         "doc_lang_run_clusters": """
             WITH RECURSIVE fwd AS (
                 SELECT a.doc_id AS src, b.doc_id AS dst

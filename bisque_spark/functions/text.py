@@ -44,6 +44,29 @@ def token_count_col(text: str | Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pretokenizer, minus the `\s+(?!\S)` lookahead (RE2 — the
+# DuckDB oracle engine — has no lookahead; Java/Python/RE2 agree on
+# this subset): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_col(text: str | Column) -> Column:
+    """Approximate BPE token count: the number of GPT-2-style
+    pretokenizer pieces, excluding pure-whitespace pieces. JVM-side
+    (regexp_extract_all) — the usual 'how many tokens will this cost'
+    estimator for training-data curation (task brief: token counting =
+    whitespace + a BPE-ish regex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    )
+
+
 def punct_count_col(text: str | Column) -> Column:
     """Count of sentence punctuation — explicit class so the same regex
     means the same thing in Java regex and DuckDB RE2 (oracle parity)."""

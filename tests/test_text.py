@@ -123,3 +123,37 @@ def test_langid_col_matches_python(spark):
     got = {r["i"]: r["lang"] for r in df.select("i", langid_col("t").alias("lang")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == (langid_py(t) if t is not None else "und"), (i, t, got[i])
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pretokenizer count: Spark (Java regex) == DuckDB (RE2)
+    over unicode/punctuation/contraction samples; ws/empty/null edges."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import BPE_PRETOKEN_PATTERN, bpe_token_count_col
+
+    texts = [
+        "It's 2026 — café №5 costs $3.50, right?",
+        "",
+        None,
+        "a  b\t\nc",
+        "don't you'll we've",
+        "日本語 テスト 123",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count_col("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+            continue
+        want = duckdb.sql(
+            "SELECT len(list_filter(regexp_extract_all($1, $$"
+            + BPE_PRETOKEN_PATTERN
+            + "$$), p -> trim(p) != ''))",
+            params=[t],
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
