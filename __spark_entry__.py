@@ -257,6 +257,27 @@ def _q_doc_langid(spark, sf_dir):
     )
 
 
+def _q_emb_exact_near_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (all-pairs baseline the
+    LSH variant approximates): id_a < id_b, cosine >= 0.4. The a<b
+    range condition keeps it a triangular join; at scale the LSH
+    bucketed form (lsh_embedding_pairs) replaces this — the exact form
+    is the correctness anchor, fully DuckDB-verified."""
+    from bisque_spark.operators.similarity import cosine_col
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine_col(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 def _q_doc_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting (GPT-2 pretokenizer pieces, lookahead-free
     subset so Java regex and DuckDB RE2 agree) next to the whitespace
@@ -781,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "emb_exact_near_pairs": _q_emb_exact_near_pairs,
         "doc_lang_run_clusters": _q_doc_lang_run_clusters,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "extract_captions": _q_extract_captions,
@@ -830,6 +852,27 @@ def oracle_sql() -> dict[str, str]:
         + " ELSE 'und' END"
     )
     return {
+        "emb_exact_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(
+                        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(
+                        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   >= 0.4
+        """,
         "doc_bpe_tokens": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
