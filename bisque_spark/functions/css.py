@@ -406,6 +406,59 @@ def iselect(nodes: list[dict], selector: str, root_pos: int | None = None):
             yield node
 
 
+class CompiledSelector:
+    """Pre-parsed selector (reference ``CSS.compile`` → chinois's
+    compiled object, css.py:93-101): reuse across documents skips
+    re-tokenization."""
+
+    def __init__(self, selector: str):
+        self.pattern = selector
+        self.groups = parse_selector(selector)
+
+    def select(self, nodes, root_pos=None, limit=None):
+        idx = _DocIndex(nodes)
+        if root_pos is None:
+            lo, hi = -1, len(nodes) - 1
+        else:
+            lo, hi = nodes[root_pos]["pos"], nodes[root_pos]["subtree_end"]
+        out = []
+        for node in nodes[lo + 1 : hi + 1]:
+            if any(_matches_chain(node, chain, idx) for chain in self.groups):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+
+def compile_selector(selector: str) -> CompiledSelector:
+    """``CSS.compile`` analogue."""
+    return CompiledSelector(selector)
+
+
+def escape_ident(ident: str) -> str:
+    """``CSS.escape`` (reference css.py:103-110 → CSSOM serialize-an-
+    identifier, https://drafts.csswg.org/cssom/#serialize-an-identifier
+    — public spec algorithm)."""
+    out = []
+    for i, ch in enumerate(ident):
+        cp = ord(ch)
+        if cp == 0:
+            out.append("�")
+        elif 0x01 <= cp <= 0x1F or cp == 0x7F:
+            out.append(f"\\{cp:x} ")
+        elif i == 0 and ch.isdigit():
+            out.append(f"\\{cp:x} ")
+        elif i == 1 and ch.isdigit() and ident[0] == "-":
+            out.append(f"\\{cp:x} ")
+        elif i == 0 and ch == "-" and len(ident) == 1:
+            out.append("\\-")
+        elif cp >= 0x80 or ch in "-_" or ch.isalnum():
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "".join(out)
+
+
 def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "html"):
     """DataFrame stage: (url, html) rows → matched node rows per
     document (document-order), one Arrow parse+select pass."""

@@ -184,3 +184,27 @@ def test_attr_value_with_spaces():
     assert len(select(nodes, "[title='hello world']")) == 1
     assert len(select(nodes, '[title*="lo wo"]')) == 1
     assert len(select(nodes, '[title="hello"]')) == 0
+
+
+def test_compile_and_escape():
+    from bisque_spark.functions.css import (
+        compile_selector,
+        escape_ident,
+        select,
+    )
+    from bisque_spark.parse import parse_nodes
+
+    nodes = parse_nodes('<div class="a"><p class="a">x</p></div>')
+    sel = compile_selector(".a")
+    assert [n["pos"] for n in sel.select(nodes)] == [
+        n["pos"] for n in select(nodes, ".a")
+    ]
+    # CSSOM serialize-an-identifier vectors (spec examples)
+    assert escape_ident("hello") == "hello"
+    assert escape_ident("1st") == "\\31 st"
+    assert escape_ident("-1x") == "-\\31 x"
+    assert escape_ident("-") == "\\-"
+    assert escape_ident("a b.c") == "a\\ b\\.c"
+    assert escape_ident("\x00x") == "�x"
+    assert escape_ident("\x01y") == "\\1 y"
+    assert escape_ident("déjà") == "déjà"
