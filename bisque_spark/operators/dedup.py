@@ -224,6 +224,12 @@ def simhash_pairs_from_sigs(
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
     offsets = [sum(widths[:b]) for b in range(n_bands)]
+    def band_key(b: int) -> F.Column:
+        shifted = F.shiftright("simhash", offsets[b])
+        if widths[b] >= 64:  # full-word band: the mask literal would
+            return shifted  # overflow a long, and is a no-op anyway
+        return shifted.bitwiseAND(F.lit((1 << widths[b]) - 1))
+
     banded = sig.select(
         id_col,
         "simhash",
@@ -232,9 +238,7 @@ def simhash_pairs_from_sigs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("band_key"),
+                        band_key(b).alias("band_key"),
                     )
                     for b in range(n_bands)
                 ]

@@ -200,37 +200,18 @@ def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def phash_near_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
-    """Perceptual-hash near-dup pairs via banded 64-bit keys (same
-    shape as simhash dedup) — JVM-side except nothing."""
-    n_bands, width = 4, 16
-    banded = images.select("image_id", "phash").select(
-        "image_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("phash", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("image_id", "phash", "bk.band", "bk.band_key")
-    left = banded.select(
-        F.col("image_id").alias("id_a"), F.col("phash").alias("p_a"), "band", "band_key"
+    """Perceptual-hash near-dup pairs via the pigeonhole banding shared
+    with SimHash (dedup.simhash_pairs_from_sigs): n_bands =
+    max_hamming+1 contiguous bands guarantee every within-distance pair
+    shares a band key (round 1 hard-coded 4 bands — silent recall loss
+    for hamming > 3)."""
+    from bisque_spark.operators.dedup import simhash_pairs_from_sigs
+
+    sig = images.select(
+        F.col("image_id").alias("img"), F.col("phash").alias("simhash")
     )
-    right = banded.select(
-        F.col("image_id").alias("id_b"), F.col("phash").alias("p_b"), "band", "band_key"
-    )
-    return (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("p_a").bitwiseXOR(F.col("p_b"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return simhash_pairs_from_sigs(
+        sig, "img", max_hamming=max_hamming
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
