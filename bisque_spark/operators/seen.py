@@ -97,8 +97,10 @@ def build_shards(
     )
 
 
-def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
-    """OR-merge two shard tables (same geometry) bucket-wise."""
+def or_merge_shards(shards: DataFrame) -> DataFrame:
+    """Collapse a multi-row-per-bucket shard table (e.g. a union of
+    per-epoch deltas) to one OR-merged row per bucket — the compaction
+    primitive."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: np.ndarray | None = None
@@ -109,7 +111,12 @@ def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
             {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [acc.tobytes()]}
         )
 
-    return a.unionByName(b).groupBy("bucket").applyInPandas(merge, schema=_SHARD_SCHEMA)
+    return shards.groupBy("bucket").applyInPandas(merge, schema=_SHARD_SCHEMA)
+
+
+def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two shard tables (same geometry) bucket-wise."""
+    return or_merge_shards(a.unionByName(b))
 
 
 def mark_maybe_seen(

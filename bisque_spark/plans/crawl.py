@@ -132,13 +132,28 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _base_epoch(workdir: str, last: int, name: str) -> int | None:
+    """Highest committed epoch ≤ last holding a compaction base."""
+    for e in range(last, -1, -1):
+        if os.path.exists(os.path.join(_epoch_dir(workdir, e), name)):
+            return e
+    return None
+
+
 def _read_seen_union(spark: SparkSession, workdir: str, last: int) -> DataFrame:
-    """seen_exact = union of per-epoch deltas (append-only: the seen set
-    is written as O(new URLs) per epoch, never rewritten — at 10^10
-    URLs a full rewrite per epoch would dominate the job)."""
-    paths = [os.path.join(workdir, "frontier_seed")]
+    """seen_exact = latest compaction base + per-epoch deltas since
+    (append-only: the seen set is written as O(new URLs) per epoch,
+    never rewritten — at 10^10 URLs a full rewrite per epoch would
+    dominate the job; periodic compaction bounds the union width)."""
+    base = _base_epoch(workdir, last, "seen_base")
+    if base is not None:
+        paths = [os.path.join(_epoch_dir(workdir, base), "seen_base")]
+        start = base + 1
+    else:
+        paths = [os.path.join(workdir, "frontier_seed")]
+        start = 0
     paths += [
-        _junction_path(workdir, e, "seen") for e in range(last + 1)
+        _junction_path(workdir, e, "seen") for e in range(start, last + 1)
     ]
     existing = [p for p in paths if os.path.exists(p)]
     # per-path reads unioned by name: the seed file and the junction
@@ -159,8 +174,14 @@ def _read_shard_union(spark: SparkSession, workdir: str, last: int) -> DataFrame
     are O(new buckets). Compact by rewriting ``shard_seed`` every K
     epochs if the delta count ever matters (it is ≤ n_buckets rows per
     epoch)."""
-    paths = [
-        _junction_path(workdir, e, "shards") for e in range(last + 1)
+    base = _base_epoch(workdir, last, "shards_base")
+    paths = []
+    start = 0
+    if base is not None:
+        paths.append(os.path.join(_epoch_dir(workdir, base), "shards_base"))
+        start = base + 1
+    paths += [
+        _junction_path(workdir, e, "shards") for e in range(start, last + 1)
     ]
     existing = [p for p in paths if os.path.exists(p)]
     dfs = [
@@ -194,6 +215,7 @@ def run_crawl(
     max_epochs: int = 10,
     resume: bool = False,
     n_buckets: int = 32,
+    compact_every: int = 16,
 ) -> dict:
     """Run (or resume) the crawl; returns summary dict with table paths.
 
@@ -374,6 +396,24 @@ def run_crawl(
             os.path.join(d, "junction")
         )
         t = _tick("junction write (6 slices, 1 job)", t)
+
+        # periodic state compaction: collapse the delta chains into one
+        # base so the read-side union width stays bounded (a 10^4-epoch
+        # crawl would otherwise union 10^4 delta paths per epoch).
+        # Written BEFORE _COMMIT, so a crash mid-compaction redoes the
+        # whole epoch — commit atomicity unchanged.
+        if compact_every and (epoch + 1) % compact_every == 0:
+            from bisque_spark.operators.seen import or_merge_shards
+
+            _write(
+                _read_seen_union(spark, workdir, epoch),
+                os.path.join(d, "seen_base"),
+            )
+            _write(
+                or_merge_shards(_read_shard_union(spark, workdir, epoch)),
+                os.path.join(d, "shards_base"),
+            )
+            t = _tick("state compaction (seen_base + shards_base)", t)
 
         # counters come from the lineage slice written above — a
         # one-row driver-local parquet read, not a Spark job

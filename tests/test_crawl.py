@@ -144,3 +144,29 @@ def test_lineage_counters_consistent(spark, spark_result):
         assert lin["rows_fetched"] + lin["rows_failed"] == lin["rows_scheduled"]
         assert lin["bloom_version"] > prev_version
         prev_version = lin["bloom_version"]
+
+
+def test_compaction_equivalence(spark, tmp_path_factory, spark_result):
+    """compact_every=2 (bases written mid-crawl) produces the same
+    order log and seen set as the uncompacted run, and resume across a
+    compaction boundary stays bit-identical."""
+    wd = str(tmp_path_factory.mktemp("crawl_compact"))
+    res = run_crawl(
+        spark, WORLD, seed_urls(WORLD), workdir=wd,
+        max_epochs=MAX_EPOCHS, compact_every=2,
+    )
+    assert _order_tuples(spark, res) == _order_tuples(spark, spark_result)
+    a = {r["url_hash"] for r in read_seen(spark, res).collect()}
+    b = {r["url_hash"] for r in read_seen(spark, spark_result).collect()}
+    assert a == b
+    # base exists at the compaction epoch
+    assert os.path.exists(os.path.join(wd, "epoch=00001", "seen_base"))
+    assert os.path.exists(os.path.join(wd, "epoch=00001", "shards_base"))
+
+    # resume across the boundary: run 2 epochs, continue to MAX_EPOCHS
+    wd2 = str(tmp_path_factory.mktemp("crawl_compact_resume"))
+    run_crawl(spark, WORLD, seed_urls(WORLD), workdir=wd2,
+              max_epochs=2, compact_every=2)
+    res2 = run_crawl(spark, WORLD, seed_urls(WORLD), workdir=wd2,
+                     max_epochs=MAX_EPOCHS, resume=True, compact_every=2)
+    assert _order_tuples(spark, res2) == _order_tuples(spark, spark_result)
