@@ -204,3 +204,60 @@ def test_charref_windows1252_overwrite_matches_reference():
         soup = Bisque(markup, features="html.parser", from_encoding=enc)
         nodes = parse_nodes(markup.decode(enc), original_encoding=enc)
         assert get_text(nodes, 0) == soup.get_text(), enc
+
+
+def test_random_markup_differential():
+    """Hypothesis-generated tag soup (nesting, void tags, string
+    containers, entities, charrefs, comments, multi-valued attrs,
+    unclosed tags) — node-tree, serialize AND get_text equality vs the
+    reference. Broader than the fixed fuzz corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+    from ref_oracle import engine_nodes_comparable, ref_nodes, ref_soup
+
+    tags = st.sampled_from(
+        ["div", "p", "b", "span", "li", "pre", "script", "img", "br", "table"]
+    )
+    texts = st.sampled_from(
+        [
+            "x",
+            " ",
+            "\n  ",
+            "a &amp; b",
+            "caf&eacute;",
+            "&#233;&#x21;",
+            "q<r",
+            "&bogus;",
+            "one two",
+        ]
+    )
+    attr = st.sampled_from(
+        ["", ' class="a b"', " id=z", ' href="/u?a=1&amp;b=2"', ' title="x y"']
+    )
+
+    def node(children):
+        return st.tuples(tags, attr, st.lists(children, max_size=3))
+
+    tree = st.recursive(texts, lambda ch: node(ch), max_leaves=12)
+
+    def render(t):
+        if isinstance(t, str):
+            return t
+        name, a, kids = t
+        inner = "".join(render(k) for k in kids)
+        # leave some tags unclosed to exercise the tag-stack pop logic
+        close = f"</{name}>" if (len(inner) % 3) != 2 else ""
+        return f"<{name}{a}>{inner}{close}"
+
+    @settings(max_examples=60, deadline=None)
+    @given(tree)
+    def check(t):
+        doc = render(t)
+        want_nodes = ref_nodes(doc)
+        got_nodes = engine_nodes_comparable(parse_nodes(doc))
+        assert got_nodes == want_nodes, doc
+        assert serialize_nodes(parse_nodes(doc)) == str(ref_soup(doc)), doc
+
+    check()
