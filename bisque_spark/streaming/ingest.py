@@ -128,3 +128,70 @@ def host_throughput_stream(pages: DataFrame, window: str = "1 minute") -> DataFr
             F.sum((F.col("status") == 200).cast("long")).alias("n_ok"),
         )
     )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: float = 1800.0
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    with state timeouts (the streaming twin of the batch lag-window
+    sessionizer in __spark_entry__._q_events_sessionize).
+
+    State per user = (session_start, last_ts, n_events). An event
+    within ``gap_s`` of last_ts extends the open session; a larger gap
+    CLOSES it (the closed session row is emitted) and opens a new one.
+    A processing-time timeout flushes sessions idle longer than the
+    gap, so sessions end even when a user goes silent — the part a
+    batch window can't express without re-reading everything.
+
+    Input: ``user_id long, ts double`` (event-time seconds), assumed
+    in-order per micro-batch arrival (the synthetic feed's property;
+    out-of-order handling would add a watermark + buffer here).
+    Output (append): one row per CLOSED session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.select("user_id", "ts").groupBy("user_id")
+
+    def sessionize(key, pdf_iter, state):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((user_id, start, last, int(n)))
+            state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdf_iter:
+            for ts in sorted(float(t) for t in pdf["ts"]):
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_s:
+                    closed.append((user_id, start, last, int(n)))
+                    start, last, n = ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+        if start is not None:
+            state.update((float(start), float(last), int(n)))
+            state.setTimeoutDuration(int(gap_s * 1000))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return keyed.applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start double, session_end double, "
+            "n_events long"
+        ),
+        stateStructType="session_start double, last_ts double, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

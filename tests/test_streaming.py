@@ -149,3 +149,49 @@ def test_windowed_host_throughput(spark, dirs):
     assert all(r["n_pages"] >= r["n_ok"] for r in rows)
     hosts = {r["host"] for r in rows}
     assert any(h.startswith("h000") for h in hosts)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions match
+    the batch lag-window sessionizer's (count, per-session boundaries)
+    for the sessions that are closed by in-stream gaps."""
+    from bisque_spark.streaming.ingest import sessionize_stream
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ck")
+
+    # user 1: two sessions (gap 5000 > 1800); user 2: one open session
+    batch1 = [(1, 10.0), (1, 200.0), (2, 50.0)]
+    batch2 = [(1, 5500.0), (1, 5600.0), (2, 60.0)]
+    spark.createDataFrame(batch1, "user_id long, ts double").write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("user_id long, ts double").parquet(src)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(batch2, "user_id long, ts double").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # user 1's first session closed by the in-stream gap: (10, 200) 2 events
+    assert (1, 10.0, 200.0, 2) in rows
+    # nothing else closed by gaps (user 2 stayed within gap; user 1's
+    # second session is still open or timeout-flushed later)
+    assert all(r[0] == 1 for r in rows)
