@@ -168,7 +168,10 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         "append"
     ).parquet(src)
 
-    def drain():
+    def drain(min_input_rows):
+        # under ProcessingTimeTimeout the runner keeps scheduling
+        # timeout-evaluation batches, so the query never self-terminates
+        # — wait until the new rows were consumed, then stop explicitly
         stream = spark.readStream.schema("user_id long, ts double").parquet(src)
         q = (
             sessionize_stream(stream)
@@ -179,13 +182,22 @@ def test_stateful_sessionize_stream(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        import time as _t
 
-    drain()
+        deadline = _t.time() + 120
+        while _t.time() < deadline and q.isActive:
+            consumed = sum(p["numInputRows"] for p in q.recentProgress)
+            if consumed >= min_input_rows:
+                break
+            _t.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+
+    drain(len(batch1))
     spark.createDataFrame(batch2, "user_id long, ts double").write.mode(
         "append"
     ).parquet(src)
-    drain()
+    drain(len(batch2))
     rows = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.read.parquet(sink).collect()
