@@ -48,7 +48,10 @@ def asof_join(
         if c in left.columns:
             l_tagged = l_tagged.withColumnRenamed(c, f"__l_{c}")
     l_tagged = l_tagged.withColumn("__r", F.lit(None).cast(struct_type))
-    r_tagged = right.select(
+    # a NULL on-key can never be "<= left.ts" (DuckDB ASOF / merge_asof
+    # reject NULL keys) — without this filter it would sort first and
+    # forward-fill into every left row
+    r_tagged = right.where(F.col(on).isNotNull()).select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__side"),

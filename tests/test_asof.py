@@ -92,3 +92,24 @@ def test_asof_right_ties_deterministic(spark):
         got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["v"]).first()
         vals.add(got["v_right"])
     assert vals == {7.0}
+
+
+def test_asof_null_on_key_right_rows_never_match(spark):
+    """A right row with NULL ts must never match (DuckDB ASOF / pandas
+    semantics) — without the filter it would forward-fill everything."""
+    import duckdb
+
+    ldf = spark.createDataFrame([(1, 3.0)], "user_id int, ts double")
+    rdf = spark.createDataFrame(
+        [(1, None, 99.0), (1, 1.0, 5.0)], "user_id int, ts double, v double"
+    )
+    got = asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["v"]).first()
+    assert got["v_right"] == 5.0 and got["ts_right"] == 1.0
+    want = duckdb.sql(
+        """
+        SELECT r.v FROM (VALUES (1, 3.0)) l(user_id, ts)
+        ASOF LEFT JOIN (VALUES (1, NULL, 99.0), (1, 1.0, 5.0)) r(user_id, ts, v)
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    ).fetchone()
+    assert want[0] == 5.0
