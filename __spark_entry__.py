@@ -323,6 +323,36 @@ def _q_doc_dup_clusters(spark, sf_dir):
     return connected_components(pairs).select("id", "cluster_id")
 
 
+def _q_doc_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: quality gate (JVM exprs) →
+    exact dedup (min-id per md5) → near-dup cluster canonical-keep
+    (MinHash pairs → connected components). Returns the surviving
+    docs with their quality features. Oracle = composition of the
+    individually-verified stages (quality/dedup DuckDB-verified;
+    cluster keep union-find-verified); rows-only here."""
+    from bisque_spark.functions.text import langid_col, quality_cols
+    from bisque_spark.operators.cluster import keep_canonical
+    from bisque_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_cols("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        langid_col("text").alias("lang_pred"),
+    )
+    quality = scored.where(
+        (F.col("n_tokens") >= 5) & (F.col("lang_pred") != "und")
+    )
+    exact_keep = exact_dedup(quality, "doc_id", "text").select("doc_id")
+    survivors = quality.join(exact_keep, "doc_id")
+    pairs = minhash_dedup_pairs(survivors, "doc_id", "text", threshold=0.5)
+    kept = keep_canonical(survivors, pairs, "doc_id")
+    return kept.select("doc_id", "n_tokens", "stopword_ratio", "lang_pred")
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from bisque_spark.functions.text import fingerprint_udf
 
@@ -805,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_exact_near_pairs": _q_emb_exact_near_pairs,
         "doc_lang_run_clusters": _q_doc_lang_run_clusters,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
         "extract_captions": _q_extract_captions,
         "crawl_epoch_schedule": _q_crawl_epoch,
         "image_features": _q_image_features,

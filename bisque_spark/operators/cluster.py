@@ -21,6 +21,10 @@ Scale: state is (id, label) — 16 bytes/vertex; the edge table is
 re-used every round (persisted). No driver-side state beyond the
 per-round convergence flag (an isEmpty on the changed-set — one cheap
 action per round, unavoidable for an iterative fixpoint).
+``localCheckpoint`` trades fault-tolerance for speed (blocks live on
+executors); on a real cluster with preemptible executors switch to
+``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` — the
+loop structure is unchanged.
 """
 
 from __future__ import annotations
