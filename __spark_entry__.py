@@ -643,21 +643,17 @@ def _q_active_users_both_types(spark, sf_dir):
     # over the distinct-type dimension, broadcast back) — no driver
     # collect at plan-build time (VERDICT r01 minor #8)
     tw = Window.orderBy("event_type")
-    tt = (
+    tt = F.broadcast(
         ev.select("event_type")
         .distinct()
         .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= 2)
     )
-    a = (
-        ev.join(F.broadcast(tt.where(F.col("rk") == 1)).drop("rk"), "event_type")
-        .select("user_id")
-        .distinct()
-    )
-    b = (
-        ev.join(F.broadcast(tt.where(F.col("rk") == 2)).drop("rk"), "event_type")
-        .select("user_id")
-        .distinct()
-    )
+    # one broadcast build (identical subplan → ReusedExchange); the
+    # rank filter is applied after the join
+    tagged = ev.join(tt, "event_type")
+    a = tagged.where(F.col("rk") == 1).select("user_id").distinct()
+    b = tagged.where(F.col("rk") == 2).select("user_id").distinct()
     return a.intersect(b)
 
 
@@ -770,17 +766,17 @@ def _q_events_asof_join(spark, sf_dir):
     # distinct-type dimension, broadcast semi-join) — no plan-build
     # collect (VERDICT r01 minor #8)
     tw = Window.orderBy("event_type")
-    tt = (
+    tt = F.broadcast(
         ev.select("event_type")
         .distinct()
         .withColumn("rk", F.row_number().over(tw))
+        .where(F.col("rk") <= 2)
     )
-    left = ev.join(
-        F.broadcast(tt.where(F.col("rk") == 1)).drop("rk"), "event_type"
-    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
-    right = ev.join(
-        F.broadcast(tt.where(F.col("rk") == 2)).drop("rk"), "event_type"
-    ).select(
+    tagged = ev.join(tt, "event_type")
+    left = tagged.where(F.col("rk") == 1).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = tagged.where(F.col("rk") == 2).select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").alias("rv"),
