@@ -79,6 +79,139 @@ def parse_robots_txt(text: str, user_agent: str = "bisque") -> dict:
     }
 
 
+# ---- full RFC 9309 rule matching (allow + wildcards + $, longest wins) -------
+#
+# The crawl loop keeps the simpler prefix-disallow contract (pinned by
+# the oracle crawler); this is the full-fidelity variant for real
+# robots.txt files: Allow lines, '*' wildcards, '$' end anchor,
+# longest-rule-wins with allow breaking ties (RFC 9309 §2.2.2).
+
+import re as _re
+
+
+def _compile_rule_re(path: str) -> str:
+    """robots path pattern → anchored Java/Python-compatible regex:
+    '*' = any run, trailing '$' = end anchor, else prefix match."""
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    pat = "^" + ".*".join(_re.escape(part) for part in body.split("*"))
+    return pat + "$" if anchored else pat
+
+
+def parse_robots_rules(text: str, user_agent: str = "bisque") -> dict:
+    """→ {"crawl_delay": float, "rules": [{"re", "len", "allow"}]}.
+
+    Same user-agent group selection as parse_robots_txt; rules keep
+    BOTH Allow and Disallow lines with their specificity (octet length
+    of the pattern, the RFC's longest-match key)."""
+    groups: list[tuple[list[str], dict]] = []
+    agents: list[str] = []
+    current: dict | None = None
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if current is not None and current["_rules_seen"]:
+                groups.append((agents, current))
+                agents = []
+                current = None
+            if current is None:
+                current = {"crawl_delay": None, "rules": [], "_rules_seen": False}
+            agents.append(value.lower())
+        elif current is not None:
+            if key in ("disallow", "allow"):
+                current["_rules_seen"] = True
+                if value:
+                    current["rules"].append(
+                        {
+                            "re": _compile_rule_re(value),
+                            "len": len(value),
+                            "allow": 1 if key == "allow" else 0,
+                        }
+                    )
+            elif key == "crawl-delay":
+                current["_rules_seen"] = True
+                try:
+                    current["crawl_delay"] = float(value)
+                except ValueError:
+                    pass
+    if current is not None:
+        groups.append((agents, current))
+
+    ua = user_agent.lower()
+    chosen = None
+    for agent_list, rules in groups:
+        if any(a != "*" and a in ua for a in agent_list):
+            chosen = rules
+            break
+    if chosen is None:
+        for agent_list, rules in groups:
+            if "*" in agent_list:
+                chosen = rules
+                break
+    if chosen is None:
+        return {"crawl_delay": 1.0, "rules": []}
+    return {
+        "crawl_delay": chosen["crawl_delay"]
+        if chosen["crawl_delay"] is not None
+        else 1.0,
+        "rules": list(chosen["rules"]),
+    }
+
+
+def robots_allowed_py(rules: list[dict], path: str) -> bool:
+    """Python twin of the JVM matcher (oracle for tests): longest
+    matching rule wins; at equal length allow beats disallow; no match
+    → allowed."""
+    best = None  # (len, allow)
+    for r in rules:
+        if _re.match(r["re"], path):
+            cand = (r["len"], r["allow"])
+            if best is None or cand > best:
+                best = cand
+    return best is None or best[1] == 1
+
+
+def apply_robots_rules(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Full-RFC allow/disallow evaluation, entirely JVM-side: the
+    per-host rule array is tiny, so the longest-match argmax is one
+    ``array_max`` over structs (len, allow) — lexicographic struct
+    ordering makes allow win length ties for free. No Python in the
+    plan; robots broadcast like apply_robots.
+
+    robots schema: host, crawl_delay, rules array<struct<re:string,
+    len:int, allow:int>>.
+    """
+    import pyspark.sql.functions as F
+
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    matches = F.filter(
+        F.transform(
+            F.col("rules"),
+            lambda r: F.when(
+                F.regexp_like(path, r["re"]),  # rlike() only takes a
+                # literal pattern; regexp_like accepts a Column
+                F.struct(r["len"].alias("len"), r["allow"].alias("allow")),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    best = F.array_max(matches)
+    allowed = (
+        F.col("rules").isNull()
+        | best.isNull()
+        | (best.getField("allow") == 1)
+    )
+    return joined.where(allowed).withColumn(
+        "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+    ).drop("rules")
+
+
 def synth_robots_txt(world: World, host: str) -> str:
     """Deterministic robots.txt body whose parse equals the
     ``robots_rows`` entry for this host (same hash-derived rules)."""
