@@ -165,9 +165,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) pairs above threshold.
 
-    Signatures are persisted across the LSH self-join — otherwise the
-    signature UDF runs twice (once per join side)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes).persist()
+    Signatures are pinned across the LSH self-join — otherwise the
+    signature UDF runs twice (once per join side); released by the
+    consumer via util.release_caches (caller-owns-cache contract)."""
+    from bisque_spark.util import pin
+
+    sigs = pin(minhash_signatures(df, id_col, text_col, n_hashes=n_hashes))
     pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
     return (
         pairs.withColumn("est_jaccard", minhash_similarity_col())
@@ -195,11 +198,13 @@ def simhash_dedup_pairs(
     (VERDICT r01 'What's wrong' #6). Bands are ceil-distributed so all
     64 bits are covered (n_bands need not divide 64).
     """
-    from bisque_spark.util import spread
+    from bisque_spark.util import pin, spread
 
-    sig = spread(df).select(
-        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
-    ).persist()
+    sig = pin(
+        spread(df).select(
+            F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+        )
+    )
     return simhash_pairs_from_sigs(sig, id_col, max_hamming, n_bands)
 
 
@@ -274,6 +279,32 @@ def ngrams_col(text_col: str, n: int = 3) -> F.Column:
     )
 
 
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact ALL-PAIRS n-gram Jaccard — the fully-verifiable baseline
+    the LSH-pruned :func:`ngram_jaccard_pairs` approximates. The
+    triangular join is quadratic: correct at oracle scale (and as a
+    per-bucket verifier), never the 100-TB path."""
+    grams = df.select(F.col(id_col), ngrams_col(text_col, n).alias("grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    joined = ga.join(gb, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        joined.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -283,8 +314,12 @@ def ngram_jaccard_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates: MinHash prunes the
-    pair space, then jaccard = |∩|/|∪| fully JVM-side."""
-    sigs = minhash_signatures(df, id_col, text_col).persist()
+    pair space, then jaccard = |∩|/|∪| fully JVM-side. Approximate-
+    recall by construction (candidates only); see
+    ngram_jaccard_pairs_exact for the all-pairs baseline."""
+    from bisque_spark.util import pin
+
+    sigs = pin(minhash_signatures(df, id_col, text_col))
     cand = lsh_candidate_pairs(
         sigs, id_col, bands, 64 // bands, attach_sigs=False
     )

@@ -4,6 +4,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# ---- caller-owns-cache contract (documented ONCE, here) ----------------------
+# Operators persist intermediates that are consumed more than once in the
+# same plan (LSH signatures, bucket keys, IVF sources). They register the
+# cache via pin(); the CONSUMER — whoever runs the terminal action on the
+# returned DataFrame (tests, bench.py, scripts/check_entry.py) — calls
+# release_caches() afterwards. Entry queries stay lazy DataFrames, so the
+# operator itself can never know when the last action has run.
+# Deliberately long-lived artifacts (the memoized IVF index in
+# __spark_entry__) use .persist() directly and manage their own lifetime.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_caches`."""
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every pin()'d DataFrame (caller-owns-cache contract)."""
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped; nothing to release
+
 
 def spread(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Ensure a CPU-bound (UDF) stage has at least one partition per

@@ -77,6 +77,113 @@ def test_lsh_finds_identical_vectors(spark, vecs):
     assert (3, 10) in got  # identical vectors share every bucket
 
 
+def _exact_pairs(mat, min_cosine):
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    n = len(m)
+    return {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cos[i, j] >= min_cosine
+    }
+
+
+def test_lsh_multitable_recall(spark):
+    """OR-amplification recall contract (VERDICT r02 #1): on clustered
+    embeddings, the multi-table LSH must recover ≥ 0.9 of the exact
+    all-pairs set at min_cosine=0.8 — round 2's single table found
+    ~10-15% at this operating point. Precision is exact by
+    construction (every candidate is cosine-verified)."""
+    rng = np.random.RandomState(23)
+    n_clusters, per, dim = 8, 12, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mat = np.concatenate(
+        [centers[c] + 0.08 * rng.normal(size=(per, dim)) for c in range(n_clusters)]
+    ).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    want = _exact_pairs(mat, 0.8)
+    assert len(want) >= 50  # the corpus actually has qualifying pairs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(df, dim=16, min_cosine=0.8).collect()
+    }
+    assert not got - want  # cosine verify ⇒ no false positives
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, (recall, len(want), len(got))
+
+
+def test_ivf_build_query_split(spark, vecs):
+    """One build, many queries: ivf_query runs on the prebuilt index
+    (no quantizer jobs on the query path) and matches the convenience
+    ivf_topk wrapper exactly — same quantizer seed, same results."""
+    from bisque_spark.operators.similarity import ivf_build, ivf_query, ivf_topk
+
+    df, mat = vecs
+    assigned, centroids = ivf_build(df, n_cells=8)
+    for qi in (0, 1):
+        q = [float(x) for x in mat[qi]]
+        via_split = [
+            r["vec_id"] for r in ivf_query(assigned, centroids, q, k=5, n_probe=4).collect()
+        ]
+        via_topk = [
+            r["vec_id"] for r in ivf_topk(df, q, k=5, n_cells=8, n_probe=4).collect()
+        ]
+        assert via_split == via_topk
+        assert qi in via_split  # self found
+
+
+def test_ivf_build_writes_partitioned_index(spark, vecs, tmp_path):
+    """index_path variant: the assignment lands partitioned by cell so
+    probe pruning is parquet partition pruning at scale."""
+    import os
+
+    from bisque_spark.operators.similarity import ivf_build, ivf_query
+
+    df, mat = vecs
+    path = str(tmp_path / "ivf_index")
+    assigned, centroids = ivf_build(df, n_cells=4, index_path=path)
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    got = [
+        r["vec_id"]
+        for r in ivf_query(
+            assigned, centroids, [float(x) for x in mat[0]], k=3, n_probe=4
+        ).collect()
+    ]
+    assert 0 in got
+
+
+def test_cache_hygiene_release_caches(spark, vecs):
+    """Caller-owns-cache contract (VERDICT r02 Next-round #7): after an
+    operator's terminal action + release_caches(), no persisted RDDs
+    remain in the context."""
+    from bisque_spark.operators.dedup import minhash_dedup_pairs
+    from bisque_spark.util import release_caches
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_caches()  # clear pins from earlier tests in the session
+    before = persistent_ids()
+    df, _ = vecs
+    lsh_near_pairs(df, dim=16, min_cosine=0.8).collect()
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body shared tokens {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    assert len(persistent_ids()) > len(before)  # the ops really pinned
+    release_caches()
+    # everything this test pinned is gone (unrelated survivors — e.g.
+    # localCheckpoint blocks from other modules — may remain)
+    assert persistent_ids() <= before
+
+
 def test_ivf_clustered_recall_beats_lowest_id_quantizer(spark):
     """Clustered corpus whose first n_cells ids all sit in ONE cluster —
     round 1's lowest-id centroids collapse there (cluster members
