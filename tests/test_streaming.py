@@ -133,6 +133,63 @@ def test_stateful_url_dedup(spark, tmp_path):
     assert len(urls) == 4
 
 
+def test_dedup_state_grows_by_delta_only():
+    """Delta-encoding probe (VERDICT r02 Next-round #6): each
+    micro-batch appends ONE sorted run of only its new hashes — the
+    encoded state grows by exactly 8·new + 8 bytes (no full re-encode),
+    membership is vectorized, and the run count is bounded by the
+    periodic merge."""
+    import pandas as pd
+
+    from bisque_spark.streaming.ingest import _decode_runs, make_dedup_fn
+
+    class StubState:
+        def __init__(self):
+            self.value = None
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    dedup = make_dedup_fn(max_runs=4)
+    state = StubState()
+
+    def run_batch(hashes):
+        pdf = pd.DataFrame(
+            {"url": [f"u{h}" for h in hashes], "url_hash": hashes}
+        )
+        out = list(dedup((0,), iter([pdf]), state))[0]
+        return list(out["url_hash"]), len(state.value[0])
+
+    emitted1, size1 = run_batch([5, 3, 9, 3])  # 3 in-batch dup
+    assert emitted1 == [5, 3, 9]
+    emitted2, size2 = run_batch([9, 11, 7])  # 9 already seen
+    assert emitted2 == [11, 7]
+    # O(new) growth: one 8-byte length slot + 8 bytes per new hash
+    assert size2 - size1 == 8 + 8 * 2
+    emitted3, size3 = run_batch([5, 11])  # all seen: run list unchanged
+    assert emitted3 == []
+    assert size3 == size2
+    # exceed max_runs → merge collapses the history to one sorted run
+    # ([23] makes 5 runs > 4 → merge; [24] then opens a fresh run)
+    for h in ([21], [22], [23], [24]):
+        run_batch(h)
+    runs = _decode_runs(state.value[0])
+    assert len(runs) == 2
+    assert sorted(runs[0]) == [3, 5, 7, 9, 11, 21, 22, 23]
+    assert list(runs[1]) == [24]
+    # nothing was lost across the merge: every hash still deduped
+    emitted4, _ = run_batch([3, 24, 21, 30])
+    assert emitted4 == [30]
+
+
 def test_windowed_host_throughput(spark, dirs):
     stream = read_pages_stream(spark, dirs["pages"])
     agg = host_throughput_stream(stream)
