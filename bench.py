@@ -72,18 +72,36 @@ def _warm_session(spark) -> None:
     ).save()
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+REPLICATES = 3
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list]]:
+    """Median-of-REPLICATES per query (VERDICT r02 Next-round #5: this
+    VM's single-run swing under hypervisor steal is ±40%, so a single
+    draw in the recorded artifact hides real deltas). Returns
+    (medians, spreads) with spread = [min, max] across replicates.
+    Caches pinned by an operator are released between replicates so
+    run N+1 doesn't keep run N's memory."""
+    import statistics
+
     import __spark_entry__ as entrymod
+    from bisque_spark.util import release_caches
 
     qs = entrymod.queries()
     _warm_session(spark)
     timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-    return timings
+        runs = []
+        for _ in range(REPLICATES):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+            release_caches()
+        timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
+    return timings, spreads
 
 
 def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
@@ -115,17 +133,30 @@ def bench_once() -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    timings = run_queries(spark, sf_dir)
-    crawl_s, crawl_urls = run_crawl_bench(spark)
+    import statistics
+
+    timings, spreads = run_queries(spark, sf_dir)
+    crawl_runs = []
+    crawl_urls = 0
+    for _ in range(REPLICATES):
+        crawl_s, crawl_urls = run_crawl_bench(spark)
+        crawl_runs.append(crawl_s)
+    crawl_s = statistics.median(crawl_runs)
     timings["crawl_3epochs"] = round(crawl_s, 3)
+    spreads["crawl_3epochs"] = [round(min(crawl_runs), 3), round(max(crawl_runs), 3)]
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
-        "metric": "headline queries + 3-epoch frontier crawl wall time",
+        "metric": (
+            "headline queries + 3-epoch frontier crawl wall time "
+            f"(per-entry median of {REPLICATES})"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "replicates": REPLICATES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
         "cpus": cpus,

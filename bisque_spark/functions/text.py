@@ -179,11 +179,13 @@ def _fingerprint_series(texts: pd.Series) -> pd.Series:
 
     window = 8
     out = np.zeros(len(texts), dtype=np.int64)
+    null_mask = np.zeros(len(texts), dtype=bool)
     mats: list[np.ndarray] = []
     counts: list[int] = []
     long_idx: list[int] = []
     for i, t in enumerate(texts):
         if t is None:
+            null_mask[i] = True  # null in → null out (not hash-of-empty)
             continue
         norm = " ".join(t.split()).lower()
         data = norm.encode("utf-8")
@@ -204,6 +206,10 @@ def _fingerprint_series(texts: pd.Series) -> pd.Series:
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         mins = np.minimum.reduceat(hashes, offsets)
         out[np.array(long_idx)] = mins.view(np.int64)
+    if null_mask.any():
+        res = pd.Series(out).astype("Int64")
+        res[null_mask] = pd.NA
+        return res
     return pd.Series(out)
 
 

@@ -365,13 +365,12 @@ def run_crawl(
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------
-        # ONE junction write job carries frontier + order log + seen
-        # delta + images + the lineage counters (a global-agg slice
-        # computed in the same job — no separate .first() job). The
-        # shard delta is the only second job (different row shape:
-        # bucket → 16 KiB..4 MiB bloom blob). The _COMMIT marker is only
-        # written after both writes return — epoch-commit atomicity
-        # unchanged.
+        # ONE junction write job carries all six per-epoch slices —
+        # frontier + order log + seen delta + images + bloom shard
+        # delta + the lineage counters (a global-agg slice computed in
+        # the same job — no separate .first() job). The _COMMIT marker
+        # is only written after the write returns — epoch-commit
+        # atomicity unchanged.
         d = _epoch_dir(workdir, epoch)
         lineage_row = extracted.agg(
             F.count(F.lit(1)).alias("n_scheduled"),
@@ -452,6 +451,7 @@ def run_crawl(
         shards = _read_shard_union(spark, workdir, epoch)
         epoch += 1
 
+    robots.unpersist()
     return {
         "workdir": workdir,
         "epochs": epoch,

@@ -96,10 +96,31 @@ def test_vectorized_series_match_python_twins():
         fp = _fingerprint_series(pd.Series(texts, dtype=object))
         sh = _simhash_series(pd.Series(texts, dtype=object))
         for t, g_fp, g_sh in zip(texts, fp, sh):
-            assert g_fp == (fingerprint_py(t) if t is not None else 0)
+            if t is None:
+                assert pd.isna(g_fp)  # null in → null out (VERDICT r02 #8)
+            else:
+                assert g_fp == fingerprint_py(t)
             assert g_sh == (simhash_py(t) if t else 0)
 
     check()
+
+
+def test_fingerprint_null_row_through_spark(spark):
+    """Null text survives the Arrow round-trip as SQL NULL, not a
+    hash-of-empty sentinel (VERDICT r02 Next-round #8)."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import fingerprint_udf
+
+    df = spark.createDataFrame(
+        [(1, "hello world fingerprint text"), (2, None)], "id long, text string"
+    )
+    rows = {
+        r["id"]: r["fp"]
+        for r in df.select("id", fingerprint_udf(F.col("text")).alias("fp")).collect()
+    }
+    assert rows[2] is None
+    assert rows[1] == fingerprint_py("hello world fingerprint text")
 
 
 def test_langid_col_matches_python(spark):
