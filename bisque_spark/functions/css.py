@@ -9,9 +9,12 @@ same execution slot as the extractor (SURVEY.md §3.3).
 Supported subset (the reference test corpus's coverage,
 src/bisque/tests/css_test.py, plus the common pseudo-classes): tag,
 ``*``, ``.class``, ``#id``, ``[attr]``, ``[attr=v]``, ``[attr~=v]``,
-``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, ``:nth-of-type(n)``,
-``:first-of-type``, ``:nth-child(an+b|odd|even|n)``, ``:first-child``,
-``:last-child``, ``:not(<compound>)``, the descendant / ``>`` / ``+``
+``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, ``[attr|=v]``, the
+``[attr=v i]`` case-insensitive flag, ``:nth-of-type(n)``,
+``:first-of-type``, ``:last-of-type``, ``:nth-last-of-type(an+b)``,
+``:only-of-type``, ``:nth-child(an+b|odd|even|n)``,
+``:nth-last-child(an+b)``, ``:first-child``, ``:last-child``,
+``:only-child``, ``:not(<compound>)``, the descendant / ``>`` / ``+``
 / ``~`` combinators, and ``,`` grouping. Quoted attribute values may
 use single or double quotes and may contain spaces/brackets.
 """
@@ -31,14 +34,20 @@ _TOKEN_RE = re.compile(
   | \[(?P<attr>[\w-]+)
         (?:(?P<op>[~^$*|]?=)
            (?: (?P<q>['"])(?P<qval>.*?)(?P=q)   # quoted: spaces allowed
-             | (?P<val>[^\]'"]*)                # bare: up to the bracket
+             | (?P<val>[^\]'"\s]*)              # bare: up to bracket/flag
            )
-        )?\]
+        )?
+        (?:\s*(?P<flag>[iIsS]))?\s*\]           # [attr=v i] case flag
+  | :nth-last-of-type\(\s*(?P<nthlot>[^)]+?)\s*\)
   | :nth-of-type\((?P<nth>\d+)\)
   | :first-of-type
+  | :last-of-type
+  | :nth-last-child\(\s*(?P<nthlc>[^)]+?)\s*\)
   | :nth-child\(\s*(?P<nthc>[^)]+?)\s*\)
   | :first-child
   | :last-child
+  | :only-child
+  | :only-of-type
   | :not\((?P<notsel>[^)]+)\)
     """,
     re.VERBOSE,
@@ -74,10 +83,18 @@ class Simple:
     tag: str | None = None
     ids: list[str] = field(default_factory=list)
     classes: list[str] = field(default_factory=list)
-    attrs: list[tuple[str, str | None, str | None]] = field(default_factory=list)
+    # (name, op, value, flag) — flag 'i' = case-insensitive value match
+    attrs: list[tuple[str, str | None, str | None, str | None]] = field(
+        default_factory=list
+    )
     nth_of_type: int | None = None
     nth_child: tuple[int, int] | None = None  # (a, b) of an+b
+    nth_last_child: tuple[int, int] | None = None
+    nth_last_of_type: tuple[int, int] | None = None
     last_child: bool = False
+    last_of_type: bool = False
+    only_child: bool = False
+    only_of_type: bool = False
     negated: list["Simple"] = field(default_factory=list)
 
 
@@ -96,17 +113,28 @@ def _parse_compound(text: str) -> Simple:
             simple.classes.append(m.group("cls"))
         elif m.group("attr"):
             val = m.group("qval") if m.group("q") else m.group("val")
-            simple.attrs.append((m.group("attr"), m.group("op"), val))
+            flag = (m.group("flag") or "").lower() or None
+            simple.attrs.append((m.group("attr"), m.group("op"), val, flag))
+        elif m.group("nthlot"):
+            simple.nth_last_of_type = _parse_nth(m.group("nthlot"))
         elif m.group("nth"):
             simple.nth_of_type = int(m.group("nth"))
         elif m.group(0) == ":first-of-type":
             simple.nth_of_type = 1
+        elif m.group(0) == ":last-of-type":
+            simple.last_of_type = True
+        elif m.group("nthlc"):
+            simple.nth_last_child = _parse_nth(m.group("nthlc"))
         elif m.group("nthc"):
             simple.nth_child = _parse_nth(m.group("nthc"))
         elif m.group(0) == ":first-child":
             simple.nth_child = (0, 1)
         elif m.group(0) == ":last-child":
             simple.last_child = True
+        elif m.group(0) == ":only-child":
+            simple.only_child = True
+        elif m.group(0) == ":only-of-type":
+            simple.only_of_type = True
         elif m.group("notsel"):
             # :not(compound) — no combinators inside (CSS level 3)
             simple.negated.append(_parse_compound(m.group("notsel").strip()))
@@ -202,13 +230,21 @@ def parse_selector(selector: str) -> list[list[tuple[str, Simple]]]:
     return groups
 
 
-def _attr_match(node: dict, name: str, op: str | None, want: str | None) -> bool:
+def _attr_match(
+    node: dict,
+    name: str,
+    op: str | None,
+    want: str | None,
+    flag: str | None = None,
+) -> bool:
     attrs = node["attrs"] or {}
     if name not in attrs:
         return False
     raw = attrs[name]
     if op is None or want is None:
         return True
+    if flag == "i":  # [attr=v i]: ASCII-case-insensitive value match
+        raw, want = raw.lower(), want.lower()
     if op == "=":
         # multi-valued attributes compare against the space-joined list
         if is_cdata_list_attr(node["name"], name):
@@ -249,6 +285,12 @@ class _DocIndex:
             node["pos"]
         ) + 1
 
+    def type_count(self, node: dict) -> int:
+        return len(self.type_order[(node["parent_pos"], node["name"])])
+
+    def child_count(self, node: dict) -> int:
+        return len(self.tag_children[node["parent_pos"]])
+
     def child_index(self, node: dict) -> int:
         """1-based index among the parent's TAG children (CSS
         :nth-child counts elements only)."""
@@ -283,8 +325,8 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
         have = split_cdata_list(attrs.get("class", ""))
         if not all(c in have for c in simple.classes):
             return False
-    for name, op, want in simple.attrs:
-        if not _attr_match(node, name, op, want):
+    for name, op, want, flag in simple.attrs:
+        if not _attr_match(node, name, op, want, flag):
             return False
     if simple.nth_of_type is not None and idx.nth_of_type(node) != simple.nth_of_type:
         return False
@@ -292,7 +334,23 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
         *simple.nth_child, idx.child_index(node)
     ):
         return False
+    if simple.nth_last_child is not None and not _nth_matches(
+        *simple.nth_last_child,
+        idx.child_count(node) - idx.child_index(node) + 1,
+    ):
+        return False
+    if simple.nth_last_of_type is not None and not _nth_matches(
+        *simple.nth_last_of_type,
+        idx.type_count(node) - idx.nth_of_type(node) + 1,
+    ):
+        return False
     if simple.last_child and not idx.is_last_child(node):
+        return False
+    if simple.last_of_type and idx.nth_of_type(node) != idx.type_count(node):
+        return False
+    if simple.only_child and idx.child_count(node) != 1:
+        return False
+    if simple.only_of_type and idx.type_count(node) != 1:
         return False
     for neg in simple.negated:
         if _matches_simple(node, neg, idx):

@@ -208,3 +208,49 @@ def test_compile_and_escape():
     assert escape_ident("\x00x") == "�x"
     assert escape_ident("\x01y") == "\\1 y"
     assert escape_ident("déjà") == "déjà"
+
+
+def test_nth_last_child():
+    """:nth-last-child counts elements from the end (soupsieve
+    semantics; VERDICT r02 Next-round #9)."""
+    assert _texts(select(NODES, "div.outer > p:nth-last-child(1)")) == ["six"]
+    assert _texts(select(NODES, "p:nth-last-child(2)")) == ["five"]
+    # an+b form: odd positions from the end. #main is ALSO div.outer
+    # (class="fancy outer") — its p "two" sits 3rd from last among
+    # [p, p, span, ul]; second div contributes four (3rd) and six (1st)
+    assert _texts(select(NODES, "div.outer > p:nth-last-child(2n+1)")) == [
+        "two",
+        "four",
+        "six",
+    ]
+
+
+def test_only_child_and_only_of_type():
+    assert _texts(select(NODES, "p:only-child")) == ["three"]
+    assert _ids(select(NODES, "li a:only-child")) == [None, None, None]
+    assert len(select(NODES, "li a:only-child")) == 3
+    assert _texts(select(NODES, "p:only-of-type")) == ["three"]
+    # ul is the only ul in #main → only-of-type but NOT only-child
+    assert len(select(NODES, "ul:only-of-type")) == 1
+    assert len(select(NODES, "ul:only-child")) == 0
+
+
+def test_last_of_type_and_nth_last_of_type():
+    assert _texts(select(NODES, "div p:last-of-type")) == [
+        "two",
+        "three",
+        "six",
+    ]
+    assert _texts(select(NODES, "div p:nth-last-of-type(2)")) == [
+        "one",
+        "five",
+    ]
+
+
+def test_attr_case_insensitive_flag():
+    assert _ids(select(NODES, "li[id=LI2 i]")) == ["li2"]
+    assert len(select(NODES, "a[rel=NEXT i]")) == 1
+    assert len(select(NODES, "a[rel=NEXT]")) == 0  # default is sensitive
+    assert len(select(NODES, 'a[href$=".HTML" i]')) == 2
+    assert len(select(NODES, 'a[href$=".HTML"]')) == 0
+    assert len(select(NODES, 'a[href$=".html" s]')) == 2  # explicit s flag
