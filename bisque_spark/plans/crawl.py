@@ -89,11 +89,19 @@ _JUNCTION_COLS = [
 
 
 def _junction_slice(df: DataFrame, table: str) -> DataFrame:
+    # one selectExpr (a single py4j round trip parsing 20 strings)
+    # instead of ~20 Column-object builds: the junction assembles 6
+    # slices per epoch and driver-side plan construction is SERIAL time
+    # that caps strong-scaling efficiency at high parallelism
     cols = set(df.columns)
-    return df.select(
-        F.lit(table).alias("table"),
+    return df.selectExpr(
+        f"'{table}' AS `table`",
         *[
-            (F.col(n).cast(t) if n in cols else F.lit(None).cast(t)).alias(n)
+            (
+                f"CAST({n} AS {t}) AS {n}"
+                if n in cols
+                else f"CAST(NULL AS {t}) AS {n}"
+            )
             for n, t in _JUNCTION_COLS
         ],
     )
@@ -383,12 +391,20 @@ def run_crawl(
         if epoch == start_epoch and start_epoch == 0:
             delta_hashes = new_hashes.unionByName(seen_exact.select("url_hash"))
         shard_delta = build_shards(delta_hashes, n_buckets=n_buckets)
+        # the state slices are O(frontier) rows of narrow columns — at
+        # any parallelism they'd otherwise contribute ~5×cores tiny
+        # tasks AND files per epoch (measured ~2 s/epoch of fixed
+        # scheduling+commit cost at local[8]; at cluster scale, small-
+        # file metadata pressure on the object store). Coalesce each to
+        # a core-proportional handful; images keeps full parallelism
+        # (it carries the bytes and the materialize UDF).
+        small = max(4, spark.sparkContext.defaultParallelism // 8)
         junction = (
-            _junction_slice(next_frontier, "frontier")
-            .unionByName(_junction_slice(order_log, "order"))
-            .unionByName(_junction_slice(new_hashes, "seen"))
+            _junction_slice(next_frontier.coalesce(small), "frontier")
+            .unionByName(_junction_slice(order_log.coalesce(small), "order"))
+            .unionByName(_junction_slice(new_hashes.coalesce(small), "seen"))
             .unionByName(_junction_slice(images, "images"))
-            .unionByName(_junction_slice(shard_delta, "shards"))
+            .unionByName(_junction_slice(shard_delta.coalesce(small), "shards"))
             .unionByName(_junction_slice(lineage_row, "lineage"))
         )
         junction.write.mode("overwrite").partitionBy("table").parquet(
