@@ -341,14 +341,24 @@ def lsh_near_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # attach UNIT vectors (normalized once per row, n rows) so the
+    # per-pair verify is one dot product instead of dot + two norms —
+    # 3x less aggregate work on the candidate explosion, where the
+    # operator's time actually goes at dense operating points
+    unit = (
+        src.select(F.col(id_col), _vec_as_double(vec_col).alias("vd"))
+        .withColumn("nrm", F.greatest(norm_col(F.col("vd")), F.lit(1e-12)))
+        .select(
+            F.col(id_col),
+            F.transform("vd", lambda x: x / F.col("nrm")).alias("u"),
+        )
+    )
+    va = unit.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"))
+    vb = unit.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cosine", cosine_col(_vec_as_double("v_a"), _vec_as_double("v_b"))
-        )
+        .withColumn("cosine", dot_col(F.col("u_a"), F.col("u_b")))
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
