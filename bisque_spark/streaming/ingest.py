@@ -86,6 +86,29 @@ def _encode_runs(runs: list) -> bytes:
     return header.tobytes() + b"".join(np.ascontiguousarray(r).tobytes() for r in runs)
 
 
+def _filter_new_rows(pdf, runs: list):
+    """One micro-batch pdf vs existing sorted runs → (kept urls,
+    kept hashes, new sorted run or None). Membership is a vectorized
+    searchsorted per run; first in-batch occurrence wins."""
+    import numpy as np
+
+    h = pdf["url_hash"].to_numpy(dtype=np.int64)
+    new_mask = np.zeros(len(h), dtype=bool)
+    new_mask[np.unique(h, return_index=True)[1]] = True
+    for r in runs:
+        pos = np.searchsorted(r, h)
+        found = (pos < len(r)) & (r[np.minimum(pos, len(r) - 1)] == h)
+        new_mask &= ~found
+    keep = np.flatnonzero(new_mask)
+    if not len(keep):
+        return [], [], None
+    return (
+        list(pdf["url"].iloc[keep]),
+        h[keep].tolist(),
+        np.sort(h[keep]),
+    )
+
+
 def make_dedup_fn(max_runs: int = 8):
     """The per-bucket stateful dedup body (exposed so tests can probe
     state-size growth directly with a stub state object).
@@ -111,23 +134,11 @@ def make_dedup_fn(max_runs: int = 8):
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            h = pdf["url_hash"].to_numpy(dtype=np.int64)
-            # first occurrence within the batch (np.unique is sorted;
-            # return_index gives each value's first position)
-            new_mask = np.zeros(len(h), dtype=bool)
-            new_mask[np.unique(h, return_index=True)[1]] = True
-            # vectorized membership vs every existing run
-            for r in runs:
-                pos = np.searchsorted(r, h)
-                found = (pos < len(r)) & (
-                    r[np.minimum(pos, len(r) - 1)] == h
-                )
-                new_mask &= ~found
-            keep = np.flatnonzero(new_mask)
-            if len(keep):
-                out_urls.extend(pdf["url"].iloc[keep])
-                out_hashes.extend(h[keep].tolist())
-                runs.append(np.sort(h[keep]))
+            urls_k, hashes_k, new_run = _filter_new_rows(pdf, runs)
+            out_urls.extend(urls_k)
+            out_hashes.extend(hashes_k)
+            if new_run is not None:
+                runs.append(new_run)
         if len(runs) > max_runs:
             runs = [np.unique(np.concatenate(runs))]
         state.update((_encode_runs(runs),))
@@ -167,6 +178,88 @@ def dedup_urls_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_urls_stream_v2(
+    urls: DataFrame, n_buckets: int = 16, max_runs: int = 8
+) -> DataFrame:
+    """URL-seen dedup on Spark 4's transformWithStateInPandas.
+
+    The v1 operator (dedup_urls_stream) holds one delta-encoded blob
+    per bucket in applyInPandasWithState — a VALUE-replacement API, so
+    the state store still rewrites the whole blob per touched bucket.
+    Here each sorted run is its own ListState ROW and a micro-batch
+    does ``appendList`` of only its new run: with the RocksDB state
+    store provider (required by transformWithState) the append is an
+    O(new) state write — the true LSM shape. Reads stay O(seen) per
+    touched bucket (searchsorted per run); when the run count exceeds
+    ``max_runs`` the list is rewritten as one merged run (amortized).
+
+    Requires
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` on the session, and the
+    transformWithState Python driver worker needs ``google.protobuf``
+    (its state-server protocol) — absent in this sandbox, so the e2e
+    test skips with that reason and the processor's logic is pinned by
+    a stub-state unit test instead (the same pattern as the Iceberg
+    catalog's parquet fallback: real code, environmental gap).
+    Output and semantics are identical to dedup_urls_stream: each
+    canonical URL emitted exactly once across the stream's lifetime.
+    """
+    keyed = urls.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    ).groupBy("bucket")
+    return keyed.transformWithStateInPandas(
+        make_dedup_processor(max_runs)(),
+        outputStructType="url string, url_hash long",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def make_dedup_processor(max_runs: int = 8):
+    """StatefulProcessor class for dedup_urls_stream_v2 (factory so the
+    merge/append logic is unit-testable against a stub ListState)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Dedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._runs = handle.getListState("runs", "run binary")
+
+        def handleInputRows(self, key, rows, timer_values):
+            runs = [
+                np.frombuffer(t[0], dtype=np.int64) for t in self._runs.get()
+            ] if self._runs.exists() else []
+            n_old = len(runs)
+            out_urls, out_hashes = [], []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                urls_k, hashes_k, new_run = _filter_new_rows(pdf, runs)
+                out_urls.extend(urls_k)
+                out_hashes.extend(hashes_k)
+                if new_run is not None:
+                    runs.append(new_run)
+            if len(runs) > max_runs:
+                merged = np.unique(np.concatenate(runs))
+                self._runs.put([(merged.tobytes(),)])  # amortized rewrite
+            elif len(runs) > n_old:
+                self._runs.appendList(  # O(new): only this batch's runs
+                    [(r.tobytes(),) for r in runs[n_old:]]
+                )
+            yield pd.DataFrame({"url": out_urls, "url_hash": out_hashes})
+
+        def close(self) -> None:
+            pass
+
+    return Dedup
 
 
 def host_throughput_stream(pages: DataFrame, window: str = "1 minute") -> DataFrame:
