@@ -14,9 +14,13 @@ src/bisque/tests/css_test.py, plus the common pseudo-classes): tag,
 ``:first-of-type``, ``:last-of-type``, ``:nth-last-of-type(an+b)``,
 ``:only-of-type``, ``:nth-child(an+b|odd|even|n)``,
 ``:nth-last-child(an+b)``, ``:first-child``, ``:last-child``,
-``:only-child``, ``:not(<compound>)``, the descendant / ``>`` / ``+``
-/ ``~`` combinators, and ``,`` grouping. Quoted attribute values may
-use single or double quotes and may contain spaces/brackets.
+``:only-child``, ``:not(<compound>)``, ``:is(<selector list>)`` /
+``:where(...)``, ``:has(<relative selector list>)`` (descendant,
+``>``, ``+``, ``~`` anchors), the descendant / ``>`` / ``+`` / ``~``
+combinators, and ``,`` grouping. Functional pseudo-class arguments are
+parsed with balanced parens (``:is(p:nth-child(2n+1))`` works). Quoted
+attribute values may use single or double quotes and may contain
+spaces/brackets.
 """
 
 from __future__ import annotations
@@ -48,10 +52,32 @@ _TOKEN_RE = re.compile(
   | :last-child
   | :only-child
   | :only-of-type
-  | :not\((?P<notsel>[^)]+)\)
     """,
     re.VERBOSE,
 )
+
+# functional pseudo-classes with selector-list arguments get a
+# balanced-paren scan (their args may nest parens: :is(p:nth-child(2)))
+_FUNCTIONAL = (":not(", ":is(", ":where(", ":has(")
+
+
+def _find_balanced(text: str, start: int) -> int:
+    """Index of the ')' matching the '(' just before ``start``."""
+    depth, quote = 1, None
+    for i in range(start, len(text)):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parens in selector: {text!r}")
 
 
 def _parse_nth(expr: str) -> tuple[int, int]:
@@ -96,12 +122,29 @@ class Simple:
     only_child: bool = False
     only_of_type: bool = False
     negated: list["Simple"] = field(default_factory=list)
+    # :is()/:where() — parsed selector groups; match if ANY matches
+    is_groups: list = field(default_factory=list)
+    # :has() — relative selector groups anchored at this element
+    has_groups: list = field(default_factory=list)
 
 
 def _parse_compound(text: str) -> Simple:
     simple = Simple()
     pos = 0
     while pos < len(text):
+        fn = next((f for f in _FUNCTIONAL if text.startswith(f, pos)), None)
+        if fn is not None:
+            end = _find_balanced(text, pos + len(fn))
+            inner = text[pos + len(fn) : end].strip()
+            if fn == ":not(":
+                # :not(compound) — no combinators inside (CSS level 3)
+                simple.negated.append(_parse_compound(inner))
+            elif fn == ":has(":
+                simple.has_groups.append(parse_selector(inner))
+            else:  # :is / :where (identical here — no specificity)
+                simple.is_groups.append(parse_selector(inner))
+            pos = end + 1
+            continue
         m = _TOKEN_RE.match(text, pos)
         if not m:
             raise ValueError(f"unsupported selector fragment: {text[pos:]!r}")
@@ -135,9 +178,6 @@ def _parse_compound(text: str) -> Simple:
             simple.only_child = True
         elif m.group(0) == ":only-of-type":
             simple.only_of_type = True
-        elif m.group("notsel"):
-            # :not(compound) — no combinators inside (CSS level 3)
-            simple.negated.append(_parse_compound(m.group("notsel").strip()))
         pos = m.end()
     return simple
 
@@ -355,7 +395,89 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
     for neg in simple.negated:
         if _matches_simple(node, neg, idx):
             return False
+    for groups in simple.is_groups:  # :is()/:where(): any alternative
+        if not any(_matches_chain(node, chain, idx) for chain in groups):
+            return False
+    for groups in simple.has_groups:  # :has(): relative, scope-anchored
+        if not _has_match(node, groups, idx):
+            return False
     return True
+
+
+def _scope_relation(d: dict, comb: str, scope: dict, idx: _DocIndex) -> bool:
+    """Does node ``d`` stand in ``comb`` relation to the :has() scope
+    element? (The relative selector's implied :scope anchor.)"""
+    if comb == " ":
+        return scope["pos"] < d["pos"] <= scope["subtree_end"]
+    if comb == ">":
+        return d["parent_pos"] == scope["pos"]
+    sibs = idx.tag_children.get(scope["parent_pos"], [])
+    if scope["pos"] not in sibs or d["pos"] not in sibs:
+        return False
+    i, j = sibs.index(scope["pos"]), sibs.index(d["pos"])
+    if comb == "+":
+        return j == i + 1
+    if comb == "~":
+        return j > i
+    return False
+
+
+def _matches_chain_scoped(
+    node: dict, chain: list, idx: _DocIndex, scope: dict
+) -> bool:
+    """Like _matches_chain, but the chain's leftmost combinator must
+    connect its leftmost compound to the :has() scope element."""
+    comb, simple = chain[-1]
+    if not _matches_simple(node, simple, idx):
+        return False
+    if len(chain) == 1:
+        return _scope_relation(node, comb, scope, idx)
+    rest = chain[:-1]
+    nodes = idx.nodes
+    if comb == " ":
+        p = node["parent_pos"]
+        while p >= 0:
+            if _matches_chain_scoped(nodes[p], rest, idx, scope):
+                return True
+            p = nodes[p]["parent_pos"]
+        return False
+    if comb == ">":
+        p = node["parent_pos"]
+        return p >= 0 and _matches_chain_scoped(nodes[p], rest, idx, scope)
+    if comb == "+":
+        prev = idx.prev_tag_sibling(node)
+        return prev is not None and _matches_chain_scoped(prev, rest, idx, scope)
+    if comb == "~":
+        return any(
+            _matches_chain_scoped(s, rest, idx, scope)
+            for s in idx.prev_tag_siblings(node)
+        )
+    raise ValueError(f"unknown combinator {comb!r}")
+
+
+def _has_match(scope: dict, groups: list, idx: _DocIndex) -> bool:
+    """:has(): does any element satisfy any relative chain anchored at
+    ``scope``? Candidates are scanned per the chain's anchor relation —
+    subtree for ' '/'>' chains, following siblings (and their subtrees
+    for descendant tails) otherwise."""
+    nodes = idx.nodes
+    for chain in groups:
+        anchor_comb = chain[0][0]
+        if anchor_comb in (" ", ">"):
+            lo, hi = scope["pos"], scope["subtree_end"]
+        else:  # sibling anchors: everything after scope in the parent
+            sibs = idx.tag_children.get(scope["parent_pos"], [])
+            later = [p for p in sibs if p > scope["pos"]]
+            if not later:
+                continue
+            lo = later[0] - 1
+            hi = max(nodes[p]["subtree_end"] for p in later)
+        for cand in nodes[lo + 1 : hi + 1]:
+            if cand["kind"] == "tag" and _matches_chain_scoped(
+                cand, chain, idx, scope
+            ):
+                return True
+    return False
 
 
 def _matches_chain(

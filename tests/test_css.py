@@ -254,3 +254,40 @@ def test_attr_case_insensitive_flag():
     assert len(select(NODES, 'a[href$=".HTML" i]')) == 2
     assert len(select(NODES, 'a[href$=".HTML"]')) == 0
     assert len(select(NODES, 'a[href$=".html" s]')) == 2  # explicit s flag
+
+
+def test_is_and_where():
+    """:is()/:where(): match any alternative (level 4)."""
+    got = select(NODES, ":is(p.a, span)")
+    assert [h["name"] for h in got] == ["p", "p", "span"]
+    assert _texts(select(NODES, "p:is(.a)")) == ["one", "two"]
+    assert _texts(select(NODES, "p:where(.a.b, .inner)")) == ["two", "three"]
+    # complex selectors inside :is, nested parens
+    assert _texts(select(NODES, ":is(div.outer > p:nth-child(2))")) == [
+        "two",
+        "five",
+    ]
+    # :not with a functional argument now parses (balanced-paren scan)
+    assert _texts(select(NODES, "div.outer > p:not(:nth-child(2))")) == [
+        "one",
+        "four",
+        "six",
+    ]
+
+
+def test_has_descendant_and_child():
+    assert _ids(select(NODES, "div:has(p.inner)")) == ["main"]
+    assert _ids(select(NODES, "div:has(> ul)")) == ["main"]
+    assert _ids(select(NODES, "li:has(a[rel=next])")) == ["li1"]
+    assert _ids(select(NODES, "li:has(> a[href$='.png'])")) == ["li2"]
+    # no div has a direct table child
+    assert select(NODES, "div:has(> table)") == []
+
+
+def test_has_sibling_anchors():
+    assert _texts(select(NODES, "p:has(+ span)")) == ["two"]
+    assert _texts(select(NODES, "p:has(~ ul)")) == ["one", "two"]
+    # chain under a sibling anchor: a <p> followed (anywhere) by a ul
+    # that contains an <a> with rel
+    assert _texts(select(NODES, "p:has(~ ul a[rel=next])")) == ["one", "two"]
+    assert select(NODES, "span:has(+ p)") == []  # span's next sib is ul
