@@ -14,6 +14,7 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from bisque_spark.session import get_spark
+from bisque_spark.util import release_caches
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
@@ -67,6 +68,10 @@ def main():
             print(f"FAIL  {name}: spark error {type(ex).__name__}: {str(ex)[:200]}")
             fail += 1
             continue
+        finally:
+            # caller-owns-cache contract (util.pin): don't let one
+            # query's pinned intermediates ride along for the next 46
+            release_caches()
         el = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows, cols={scols} ({el:.1f}s) [rows-only]")
