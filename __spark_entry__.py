@@ -446,6 +446,91 @@ def _q_crawl_epoch(spark, sf_dir):
     )
 
 
+def _q_image_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup pairs through the pigeonhole banding
+    (shared with SimHash). Content derives from image_id, so the 120
+    rows planted over 40 distinct contents (unique labels ride the
+    caption column through materialization) yield exactly the
+    byte-identical triples as hamming-0 pairs. Rows-only; the banding
+    recall contract is pinned in test_dedup/test_multimodal."""
+    from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.operators.multimodal import phash_near_pairs
+
+    ids = spark.range(120).select(
+        F.concat(F.lit("img-"), (F.col("id") % 40).cast("string")).alias(
+            "image_id"
+        ),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
+            "caption"
+        ),
+    )
+    images = ids.mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    relabeled = images.withColumn("image_id", F.col("caption"))
+    return phash_near_pairs(relabeled, max_hamming=8)
+
+
+def _q_audio_features(spark, sf_dir):
+    """Audio-column operator: deterministic s16le PCM clips → duration /
+    rms / peak (numpy decode in the Arrow batch). Rows-only; the
+    numpy oracle is in test_multimodal.py."""
+    import pandas as pd
+
+    from bisque_spark.operators.multimodal import audio_features, synth_audio
+
+    ids = spark.range(100).select(
+        F.concat(F.lit("au-"), F.col("id").cast("string")).alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "bytes": [], "fmt": [], "sample_rate": []}
+            for mid in pdf["media_id"]:
+                a = synth_audio(mid)
+                rows["media_id"].append(mid)
+                rows["bytes"].append(a["bytes"])
+                rows["fmt"].append(a["fmt"])
+                rows["sample_rate"].append(a["sample_rate"])
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(
+        gen, "media_id string, bytes binary, fmt string, sample_rate int"
+    )
+    return audio_features(media).select(
+        "media_id",
+        "fmt",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+    )
+
+
+def _q_image_thumbnails(spark, sf_dir):
+    """Deterministic nearest-neighbor thumbnails (resize stage of the
+    multimodal pipeline); thumbnails hashed for a stable row shape.
+    Rows-only; pixel-level oracle in test_multimodal.py."""
+    from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.operators.multimodal import image_thumbnails
+
+    ids = spark.range(150).select(
+        F.concat(F.lit("img-th-"), F.col("id").cast("string")).alias("image_id"),
+        F.lit("").alias("caption"),
+    )
+    images = ids.mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    th = image_thumbnails(images, target=8)
+    return th.select(
+        "image_id", "w", "h", F.md5(F.col("thumb")).alias("thumb_md5"), "error"
+    )
+
+
 def _q_image_features(spark, sf_dir):
     """Multimodal decode+feature plumbing over deterministic images."""
     from bisque_spark.operators.multimodal import image_features
@@ -883,6 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_captions": _q_extract_captions,
         "crawl_epoch_schedule": _q_crawl_epoch,
         "image_features": _q_image_features,
+        "image_phash_pairs": _q_image_phash_pairs,
+        "image_thumbnails": _q_image_thumbnails,
+        "audio_features": _q_audio_features,
         "validate_images": _q_validate_images,
         "nodes_find_all": _q_nodes_find_all,
         "css_select": _q_css_select,

@@ -30,8 +30,103 @@ FEATURES_SCHEMA = (
 THUMB_SCHEMA = "image_id string, w int, h int, thumb binary, error string"
 
 
+# ---- codec-free container formats (pure numpy, no codec library) ---------
+#
+# PPM (P6) and uncompressed 24-bit BMP are spec-trivial byte layouts:
+# decoding them needs no codec, so they get REAL decoders — the
+# NotImplementedError stub is reserved for formats that genuinely need
+# an absent library (jpeg, webp, video codecs).
+
+
+def decode_ppm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """P6 binary PPM → (h×w×3 uint8, w, h). Handles comments and
+    arbitrary header whitespace per the netpbm spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    # header = 4 tokens (magic, w, h, maxval); '#' starts a comment
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3), w, h
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels.astype(np.uint8)
+    ).tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP → (h×w×3 RGB, w, h).
+    Rows are 4-byte padded, BGR, bottom-up (top-down if height < 0)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"bmp bpp={bpp} compression={comp}")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy(), w, h  # BGR → RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    raw = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(raw)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raw
+
+
 def _decode(row_bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    pixels = decode_image(bytes(row_bytes), fmt)
+    data = bytes(row_bytes)
+    if fmt == "ppm":
+        arr, _, _ = decode_ppm(data)
+        return arr
+    if fmt == "bmp":
+        arr, _, _ = decode_bmp(data)
+        return arr
+    pixels = decode_image(data, fmt)
     return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -100,3 +100,48 @@ def test_phash_pairs_identical_images(spark, images):
     out = phash_near_pairs(images.unionByName(dup), max_hamming=0)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert any("img-t-0-copy" in p for pair in got for p in pair)
+
+
+def test_ppm_bmp_roundtrip_and_features(spark):
+    """Codec-free container formats get REAL decoders: P6 PPM and
+    24-bit BMP round-trip bit-exactly and flow through the
+    image_features stage with correct channel means (numpy oracle);
+    malformed bytes land in the error column, never a task failure."""
+    import numpy as np
+
+    from bisque_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.RandomState(3)
+    pix = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → BMP pad
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp)):
+        arr, w, h = dec(enc(pix))
+        assert (w, h) == (7, 5)
+        assert np.array_equal(arr, pix)
+    # comment + whitespace in the PPM header
+    commented = b"P6\n# a comment\n 7 5\n255\n" + pix.tobytes()
+    arr, w, h = decode_ppm(commented)
+    assert np.array_equal(arr, pix)
+
+    rows = [
+        ("i-ppm", encode_ppm(pix), 7, 5, "ppm"),
+        ("i-bmp", encode_bmp(pix), 7, 5, "bmp"),
+        ("i-bad", b"garbage", 7, 5, "bmp"),
+        ("i-jpg", b"\xff\xd8\xff", 7, 5, "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in image_features(df).collect()}
+    want = {c: float(pix[..., i].mean()) for i, c in enumerate("rgb")}
+    for img in ("i-ppm", "i-bmp"):
+        assert got[img]["error"] is None
+        for i, c in enumerate("rgb"):
+            assert abs(got[img][f"mean_{c}"] - want[c]) < 1e-9
+    assert got["i-bad"]["error"].startswith("decode_error")
+    assert got["i-jpg"]["error"] == "codec_unavailable:jpeg"
