@@ -831,6 +831,90 @@ def _q_emb_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_events_rollup_incremental(spark, sf_dir):
+    """Continuous-aggregate REFRESH (TimescaleDB shape): the rollup is
+    materialized over facts before the cutoff (raw partials), then
+    maintained by merging only the delta's rollup — the base fact
+    table is never rescanned, so refresh cost is O(delta) at 100 TB.
+    DuckDB-verified against a full-recompute oracle: the incremental
+    merge must be indistinguishable from rescanning everything."""
+    from bisque_spark.operators.rollup import (
+        time_rollup,
+        time_rollup_increment,
+    )
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = time_rollup(ev.where(F.col("ts") < cutoff), rounded=False)
+    return time_rollup_increment(base, ev.where(F.col("ts") >= cutoff))
+
+
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped-order revenue by order for one market
+    segment. Selective dim filter → join → agg → deterministic top-10
+    (revenue desc, orderkey tiebreak — group keys are functionally
+    dependent on l_orderkey, so the tiebreak is unique)."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = _load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    out = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation for one region and year range,
+    with the LOCAL-supplier condition (c_nationkey = s_nationkey) — a
+    5-way join where nation/region broadcast."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def _q_events_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup in one grouping-sets
     pass (hour + day buckets from a single scan)."""
@@ -987,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_stats": _q_emb_dim_stats,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "events_time_rollup": _q_events_time_rollup,
+        "events_rollup_incremental": _q_events_rollup_incremental,
+        "shipping_priority": _q_shipping_priority,
+        "regional_revenue": _q_regional_revenue,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "events_value_stats": _q_events_value_stats,
         "serialize_roundtrip": _q_serialize_roundtrip,
@@ -1299,6 +1386,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_v,
                    round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
             FROM events GROUP BY bucket
+        """,
+        # incremental refresh must equal the FULL recompute — the
+        # oracle deliberately rescans everything
+        "events_rollup_incremental": """
+            SELECT 'hour' AS gran,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+                   count(*) AS n, round(sum(value), 4) AS sum_v,
+                   round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+            FROM events GROUP BY bucket
+            UNION ALL
+            SELECT 'day' AS gran,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                   count(*) AS n, round(sum(value), 4) AS sum_v,
+                   round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+            FROM events GROUP BY bucket
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+                     o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         "events_pivot_by_type": """
             WITH t AS (SELECT event_type,

@@ -27,14 +27,19 @@ def time_rollup(
     value_col: str = "value",
     grans: tuple[str, ...] = ("hour", "day"),
     extra_keys: tuple[str, ...] = (),
+    rounded: bool = True,
 ) -> DataFrame:
     """→ (gran, bucket, *extra_keys, n, sum_v, min_v, max_v) for every
     granularity at once (single scan + single grouping-sets aggregate).
     Bucket rendered as a string so every granularity shares one column.
+    ``rounded=False`` keeps raw partials — required when the output is a
+    MATERIALIZATION that time_rollup_increment will merge later
+    (sum-of-rounded ≠ rounded-sum).
     """
     for g in grans:
         if g not in GRANULARITIES:
             raise ValueError(f"unknown granularity {g!r}")
+    rnd = (lambda c: F.round(c, 4)) if rounded else (lambda c: c)
     with_buckets = df
     for g in grans:
         with_buckets = with_buckets.withColumn(
@@ -46,9 +51,9 @@ def time_rollup(
         sets, *[F.col(c) for c in {c for s in sets for c in s}]
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(value_col), 4).alias("sum_v"),
-        F.round(F.min(value_col), 4).alias("min_v"),
-        F.round(F.max(value_col), 4).alias("max_v"),
+        rnd(F.sum(value_col)).alias("sum_v"),
+        rnd(F.min(value_col)).alias("min_v"),
+        rnd(F.max(value_col)).alias("max_v"),
     )
     # each output row belongs to exactly one grouping set: the non-null
     # bucket column identifies its granularity
@@ -68,3 +73,42 @@ def time_rollup(
         "min_v",
         "max_v",
     ).where(F.col("gran").isNotNull())
+
+
+def time_rollup_increment(
+    base: DataFrame,
+    delta: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grans: tuple[str, ...] = ("hour", "day"),
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance (the TimescaleDB
+    refresh shape): roll up ONLY the delta facts and merge partials
+    with the materialized ``base`` rollup by (gran, bucket, keys). The
+    base FACT table is never rescanned — at 100 TB the refresh cost is
+    O(delta), not O(history).
+
+    count/sum/min/max are all decomposable, so merged == full
+    recompute EXACTLY, provided the base materialization kept raw
+    partials (``time_rollup(..., rounded=False)``); rounding happens
+    once, here, on the merged result. Pinned by
+    tests/test_rollup.py::test_incremental_merge_equals_recompute and
+    the DuckDB oracle on events_rollup_incremental.
+    """
+    d = time_rollup(
+        delta, ts_col, value_col, grans, extra_keys, rounded=False
+    )
+    merged = (
+        base.unionByName(d)
+        .groupBy("gran", "bucket", *extra_keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+            F.round(F.min("min_v"), 4).alias("min_v"),
+            F.round(F.max("max_v"), 4).alias("max_v"),
+        )
+    )
+    return merged.select(
+        "gran", "bucket", *extra_keys, "n", "sum_v", "min_v", "max_v"
+    )

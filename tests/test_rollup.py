@@ -56,3 +56,32 @@ def test_rollup_single_scan_plan(spark, events):
 def test_rollup_rejects_unknown_gran(events):
     with pytest.raises(ValueError):
         time_rollup(events, grans=("fortnight",))
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """time_rollup_increment: base (raw partials) + delta rollup merged
+    == full recompute, for ANY split of the facts — count/sum/min/max
+    are decomposable and rounding happens once, at merge."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.rollup import time_rollup, time_rollup_increment
+
+    rows = [
+        (i, f"2024-01-{(i % 9) + 1:02d} {(i * 7) % 24:02d}:{i % 60:02d}:00", i * 0.37)
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    full = {
+        tuple(r) for r in time_rollup(ev, grans=("hour", "day")).collect()
+    }
+    for split in (F.col("id") % 3 == 0, F.col("ts") < "2024-01-05"):
+        base = time_rollup(ev.where(~split), grans=("hour", "day"), rounded=False)
+        merged = {
+            tuple(r)
+            for r in time_rollup_increment(
+                base, ev.where(split), grans=("hour", "day")
+            ).collect()
+        }
+        assert merged == full
