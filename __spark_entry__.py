@@ -821,10 +821,23 @@ def _q_emb_ivf_topk(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    key = (spark.sparkContext.applicationId, sf_dir, 16)
+    app = spark.sparkContext.applicationId
+    # evict entries from previous (stopped) sessions: their DataFrames
+    # point into dead JVMs and can never be reused (the key includes
+    # the application id), so without this the memo is a pure leak
+    for stale in [k for k in _IVF_INDEX if k[0] != app]:
+        df_old, _ = _IVF_INDEX.pop(stale)
+        try:
+            df_old.unpersist()
+        except Exception:
+            pass
+    key = (app, sf_dir, 16)
     if key not in _IVF_INDEX:
+        # pin_index=False: the memoized index is a long-lived artifact
+        # owned HERE, outside the pin registry — release_caches() in
+        # bench replicate loops must not evict it
         _IVF_INDEX[key] = ivf_build(
-            emb.where(F.col("vec_id") != 0), n_cells=16
+            emb.where(F.col("vec_id") != 0), n_cells=16, pin_index=False
         )
     assigned, centroids = _IVF_INDEX[key]
     out = ivf_query(assigned, centroids, q, k=10, n_probe=6)

@@ -220,6 +220,7 @@ def ivf_build(
     n_cells: int = 16,
     kmeans_iters: int = 1,
     index_path: str | None = None,
+    pin_index: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """ONE-TIME IVF index build: assign every vector to its coarse cell
     and materialize the assignment. Returns (assigned, centroids) for
@@ -238,13 +239,23 @@ def ivf_build(
         assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
         spark = df.sparkSession
         return spark.read.parquet(index_path), centroids
-    from bisque_spark.util import pin
+    # pin_index=True: the index follows the caller-owns-cache contract
+    # (released with the query's other intermediates). pin_index=False:
+    # the caller keeps the index OUTSIDE the pin registry as a
+    # long-lived artifact that release_caches() cannot evict — the
+    # shape for memoized cross-query reuse (e.g. __spark_entry__'s
+    # _IVF_INDEX), where eviction would silently turn every later
+    # query into a full assignment rescan.
+    if pin_index:
+        from bisque_spark.util import pin
 
-    assigned = pin(assigned)
+        assigned = pin(assigned)
+    else:
+        assigned = assigned.persist()
     assigned.count()  # materialize the index exactly once, at build time
-    # (if release_caches() later evicts it, re-materialization reruns
-    # only the assignment scan — the final centroids live in the UDF
-    # closure, so no sample/Lloyd job can ever rerun on the query path)
+    # (even if evicted later, re-materialization reruns only the
+    # assignment scan — the final centroids live in the UDF closure,
+    # so no sample/Lloyd job can ever rerun on the query path)
     return assigned, centroids
 
 
@@ -344,8 +355,10 @@ def lsh_near_pairs(
     # attach UNIT vectors (normalized once per row, n rows) so the
     # per-pair verify is one dot product instead of dot + two norms —
     # 3x less aggregate work on the candidate explosion, where the
-    # operator's time actually goes at dense operating points
-    unit = (
+    # operator's time actually goes at dense operating points. Pinned:
+    # both attach joins read the same normalization, not two source
+    # scans.
+    unit = pin(
         src.select(F.col(id_col), _vec_as_double(vec_col).alias("vd"))
         .withColumn("nrm", F.greatest(norm_col(F.col("vd")), F.lit(1e-12)))
         .select(

@@ -363,13 +363,22 @@ def run_crawl(
             .persist()
         )
 
-        next_frontier = deferred.select(*FRONTIER_COLS).unionByName(new_urls)
+        # persisted so the junction's coalesced frontier slice reads
+        # CACHE: deferred's politeness window is not otherwise
+        # persisted, and a bare coalesce(small) would drag that window
+        # rank down to `small` tasks inside the write job — at 10^10
+        # frontiers exactly the serialization the salted rank avoids
+        next_frontier = (
+            deferred.select(*FRONTIER_COLS).unionByName(new_urls).persist()
+        )
         new_hashes = new_urls.select("url_hash")
 
-        # warm the persisted chain (scheduled → extracted → new_urls)
-        # with ONE action: the junction's five slices would otherwise
-        # race to populate the caches and run the fetch UDF concurrently
-        new_urls.count()
+        # warm the persisted chain with ONE action: next_frontier's two
+        # branches cover everything — the deferred politeness window AND
+        # new_urls (cogroup → extracted → scheduled) — at full
+        # parallelism; the junction's slices then read caches instead of
+        # racing to populate them and re-running the fetch UDF
+        next_frontier.count()
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------
@@ -454,6 +463,7 @@ def run_crawl(
         scheduled.unpersist()
         extracted.unpersist()
         new_urls.unpersist()
+        next_frontier.unpersist()
 
         # read the committed state back: cuts lineage growth across the
         # iterative loop and makes resume = continue exactly

@@ -64,14 +64,30 @@ def write_images_stream(
     return writer.start()
 
 
+# state-format version tag: a value that can never be a run count and
+# is vanishingly unlikely as a url_hash, so blobs written by the
+# pre-delta encoding (a bare sorted int64 hash array) are recognized
+# and migrated on read instead of being misparsed on checkpoint resume
+_RUNS_MAGIC = -0x52554E53444C5431  # "RUNSDLT1"
+
+
 def _decode_runs(blob: bytes) -> list:
-    """Delta-encoded seen-state → list of sorted int64 runs (zero-copy
-    views into the blob)."""
+    """Seen-state blob → list of sorted int64 runs (zero-copy views).
+
+    Versioned: [MAGIC | n_runs | run_lens | runs...]. A blob without
+    the magic header is a legacy pre-delta checkpoint (one bare sorted
+    hash array) and is migrated as a single run."""
     import numpy as np
 
-    n = int(np.frombuffer(blob, dtype=np.int64, count=1)[0])
-    lens = np.frombuffer(blob, dtype=np.int64, count=n, offset=8)
-    runs, off = [], 8 + 8 * n
+    if (
+        len(blob) < 16
+        or int(np.frombuffer(blob, dtype=np.int64, count=1)[0]) != _RUNS_MAGIC
+    ):
+        legacy = np.frombuffer(blob, dtype=np.int64)
+        return [legacy] if len(legacy) else []
+    n = int(np.frombuffer(blob, dtype=np.int64, count=1, offset=8)[0])
+    lens = np.frombuffer(blob, dtype=np.int64, count=n, offset=16)
+    runs, off = [], 16 + 8 * n
     for ln in lens:
         runs.append(np.frombuffer(blob, dtype=np.int64, count=int(ln), offset=off))
         off += 8 * int(ln)
@@ -79,10 +95,12 @@ def _decode_runs(blob: bytes) -> list:
 
 
 def _encode_runs(runs: list) -> bytes:
-    """list of sorted int64 runs → blob: [n_runs | run_lens | runs...]."""
+    """list of sorted int64 runs → [MAGIC | n_runs | run_lens | runs...]."""
     import numpy as np
 
-    header = np.array([len(runs)] + [len(r) for r in runs], dtype=np.int64)
+    header = np.array(
+        [_RUNS_MAGIC, len(runs)] + [len(r) for r in runs], dtype=np.int64
+    )
     return header.tobytes() + b"".join(np.ascontiguousarray(r).tobytes() for r in runs)
 
 

@@ -11,8 +11,10 @@ from pyspark.sql import DataFrame
 # returned DataFrame (tests, bench.py, scripts/check_entry.py) — calls
 # release_caches() afterwards. Entry queries stay lazy DataFrames, so the
 # operator itself can never know when the last action has run.
-# Deliberately long-lived artifacts (the memoized IVF index in
-# __spark_entry__) use .persist() directly and manage their own lifetime.
+# Deliberately long-lived artifacts (e.g. the memoized IVF index in
+# __spark_entry__) persist OUTSIDE this registry (ivf_build with
+# pin_index=False) and manage their own lifetime — release_caches()
+# must not be able to evict them.
 _PINNED: list[DataFrame] = []
 
 

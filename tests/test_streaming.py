@@ -314,6 +314,45 @@ def test_dedup_state_grows_by_delta_only():
     assert emitted4 == [30]
 
 
+def test_dedup_state_migrates_legacy_checkpoint():
+    """A checkpoint written by the pre-delta encoding (bare sorted
+    int64 hash array, no magic header) must be read as one run — not
+    misparsed as a run-count — so a stream resumed across the format
+    change keeps its exactly-once contract."""
+    import numpy as np
+    import pandas as pd
+
+    from bisque_spark.streaming.ingest import _decode_runs, make_dedup_fn
+
+    legacy_hashes = np.array([-4521985797544297796, -7, 3, 11], dtype=np.int64)
+    legacy_blob = np.sort(legacy_hashes).tobytes()  # old format
+    runs = _decode_runs(legacy_blob)
+    assert len(runs) == 1 and sorted(runs[0]) == sorted(legacy_hashes.tolist())
+
+    class StubState:
+        def __init__(self, blob):
+            self.value = (blob,)
+
+        exists = property(lambda self: self.value is not None)
+        get = property(lambda self: self.value)
+
+        def update(self, v):
+            self.value = v
+
+    state = StubState(legacy_blob)
+    dedup = make_dedup_fn(max_runs=4)
+    pdf = pd.DataFrame(
+        {"url": ["a", "b", "c"], "url_hash": [3, -7, 999]}
+    )
+    out = list(dedup((0,), iter([pdf]), state))[0]
+    assert list(out["url_hash"]) == [999]  # legacy hashes still seen
+    # state re-written in the versioned format, legacy run preserved
+    runs = _decode_runs(state.value[0])
+    assert sorted(np.concatenate(runs).tolist()) == sorted(
+        legacy_hashes.tolist() + [999]
+    )
+
+
 def test_windowed_host_throughput(spark, dirs):
     stream = read_pages_stream(spark, dirs["pages"])
     agg = host_throughput_stream(stream)
