@@ -1,21 +1,28 @@
 """Table catalog shim: Iceberg when the runtime is present, partitioned
-parquet + manifest otherwise (SURVEY.md §7.0).
+parquet + file-manifest snapshots otherwise (SURVEY.md §7.0).
 
 BASELINE.json's input_hint names Iceberg tables; the sandbox ships no
 Iceberg runtime jar, so this layer keeps the *SQL surface and call
-sites* identical (create/append/merge/read/snapshot) and swaps the
-physical backing. Flipping to real Iceberg is configuration only:
-``spark.sql.catalog.<name>`` plus ``USE_ICEBERG=1``.
+sites* identical (create/append/merge/read/time-travel/expire) and
+swaps the physical backing. Flipping to real Iceberg is configuration
+only: ``spark.sql.catalog.<name>`` plus ``USE_ICEBERG=1``.
 
-Parquet fallback semantics:
-- create_table: directory + JSON manifest (schema, partition spec)
-- append: parquet append (atomic per Spark's output committer)
-- merge_by_key: MERGE INTO emulation — new rows win on key collision,
-  rewritten via a staging directory + atomic rename (the same
-  last-writer-wins upsert `MERGE INTO t USING s ON t.k = s.k WHEN
-  MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` gives)
-- snapshots: every merge bumps ``version`` in the manifest (Iceberg
-  snapshot-id stand-in), enabling the resume/lineage bookkeeping.
+Parquet fallback follows Iceberg's actual design: the MANIFEST lists
+the data files of every snapshot, and commits are an atomic manifest
+pointer swap (os.replace). Concretely:
+
+- create_table: directory + JSON manifest (schema, partition spec,
+  ``snapshots: {version: [data files]}``)
+- append: new files staged then moved in; snapshot v+1 = v's files +
+  the new ones. Existing files are NEVER rewritten or deleted.
+- merge_by_key: MERGE INTO emulation — last-writer-wins upsert
+  materialized as a fresh file set; snapshot v+1 references only the
+  new files, v's files remain on disk for time travel.
+- read(name, version=...): TIME TRAVEL — any retained snapshot reads
+  exactly the file list its manifest recorded (``basePath`` recovers
+  partition columns from the directory layout).
+- expire_snapshots: drops old snapshot entries and deletes files no
+  retained snapshot references (Iceberg's expire_snapshots).
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ import shutil
 import time
 import uuid
 
-import pyspark.sql.functions as F
+import pyspark.sql.functions as F  # noqa: F401  (re-exported for callers)
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -50,6 +57,9 @@ class ParquetCatalog:
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _data(self, name: str) -> str:
+        return os.path.join(self._dir(name), "data")
+
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "_manifest.json")
 
@@ -58,72 +68,132 @@ class ParquetCatalog:
             return json.load(f)
 
     def _write_manifest(self, name: str, manifest: dict) -> None:
+        # the commit IS this atomic pointer swap (Iceberg semantics):
+        # readers see either the old or the new snapshot, never a mix
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(name))
 
+    def _stage_files(
+        self, name: str, df: DataFrame, partition_by: list[str]
+    ) -> list[str]:
+        """Write df as a NEW set of immutable data files and return
+        their table-relative paths (partition dirs preserved)."""
+        staging = os.path.join(self._dir(name), f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        data = self._data(name)
+        files: list[str] = []
+        for walk_root, _dirs, fns in os.walk(staging):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(walk_root, fn), staging)
+                dst = os.path.join(data, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(walk_root, fn), dst)
+                files.append(rel)
+        shutil.rmtree(staging)
+        return sorted(files)
+
     # -- operations ----------------------------------------------------------
     def create_table(
         self, name: str, schema_ddl: str, partition_by: list[str] | None = None
     ) -> None:
-        d = os.path.join(self._dir(name), "data")
-        os.makedirs(d, exist_ok=True)
-        empty = self.spark.createDataFrame([], schema=schema_ddl)
-        writer = empty.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(d)
+        os.makedirs(self._data(name), exist_ok=True)
         self._write_manifest(
             name,
             {
                 "schema": schema_ddl,
                 "partition_by": partition_by or [],
                 "version": 0,
+                "snapshots": {"0": []},
             },
         )
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or TIME TRAVEL to any retained version."""
         m = self._read_manifest(name)
-        return self.spark.read.schema(m["schema"]).parquet(
-            os.path.join(self._dir(name), "data")
+        v = m["version"] if version is None else version
+        try:
+            files = m["snapshots"][str(v)]
+        except KeyError:
+            raise ValueError(
+                f"table {name!r} has no snapshot {v} (retained: "
+                f"{sorted(int(k) for k in m['snapshots'])})"
+            ) from None
+        if not files:
+            return self.spark.createDataFrame([], schema=m["schema"])
+        data = self._data(name)
+        return (
+            self.spark.read.schema(m["schema"])
+            .option("basePath", data)
+            .parquet(*[os.path.join(data, f) for f in files])
         )
 
     def append(self, name: str, df: DataFrame) -> None:
         m = self._read_manifest(name)
-        writer = df.write.mode("append")
-        if m["partition_by"]:
-            writer = writer.partitionBy(*m["partition_by"])
-        writer.parquet(os.path.join(self._dir(name), "data"))
+        new_files = self._stage_files(name, df, m["partition_by"])
+        prev = m["snapshots"][str(m["version"])]
         m["version"] += 1
+        m["snapshots"][str(m["version"])] = prev + new_files
         self._write_manifest(name, m)
 
     def merge_by_key(self, name: str, df: DataFrame, key: str) -> None:
-        """Upsert: incoming rows replace existing rows with equal key."""
+        """Upsert: incoming rows replace existing rows with equal key.
+        The previous snapshot's files stay on disk → time travel."""
         m = self._read_manifest(name)
         current = self.read(name)
         merged = df.unionByName(
             current.join(df.select(key), on=key, how="left_anti")
         )
-        staging = os.path.join(self._dir(name), f"_staging-{uuid.uuid4().hex}")
-        writer = merged.write.mode("overwrite")
-        if m["partition_by"]:
-            writer = writer.partitionBy(*m["partition_by"])
-        writer.parquet(staging)
-        data = os.path.join(self._dir(name), "data")
-        old = data + ".old"
-        os.rename(data, old)
-        os.rename(staging, data)
-        shutil.rmtree(old)
+        new_files = self._stage_files(name, merged, m["partition_by"])
         m["version"] += 1
+        m["snapshots"][str(m["version"])] = new_files
         m["last_merge_ts"] = time.time()
         self._write_manifest(name, m)
 
     def version(self, name: str) -> int:
         return self._read_manifest(name)["version"]
+
+    def snapshots(self, name: str) -> list[int]:
+        return sorted(int(k) for k in self._read_manifest(name)["snapshots"])
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        data files no retained snapshot references. Returns the expired
+        versions."""
+        m = self._read_manifest(name)
+        versions = sorted(int(k) for k in m["snapshots"])
+        expired = versions[:-keep_last] if keep_last > 0 else versions
+        retained = versions[len(expired):]
+        keep_files = {
+            f for v in retained for f in m["snapshots"][str(v)]
+        }
+        drop_files = {
+            f
+            for v in expired
+            for f in m["snapshots"][str(v)]
+            if f not in keep_files
+        }
+        # manifest swap FIRST (readers stop seeing expired snapshots),
+        # then physical deletes — a crash in between leaks files, never
+        # corrupts a retained snapshot
+        m["snapshots"] = {str(v): m["snapshots"][str(v)] for v in retained}
+        self._write_manifest(name, m)
+        data = self._data(name)
+        for f in drop_files:
+            try:
+                os.remove(os.path.join(data, f))
+            except FileNotFoundError:
+                pass
+        return expired
 
 
 def get_catalog(spark: SparkSession, root: str):

@@ -62,3 +62,56 @@ def test_partitioned_table(spark, cat):
 def test_get_catalog_fallback(spark, tmp_path):
     c = get_catalog(spark, str(tmp_path / "w2"))
     assert isinstance(c, ParquetCatalog)
+
+
+def test_time_travel_and_expire(spark, cat):
+    """Snapshot manifests give Iceberg-style time travel: every retained
+    version reads exactly the file set its commit recorded; expire
+    drops old versions and deletes only unreferenced files."""
+    cat.create_table("t", SCHEMA)
+    cat.append("t", spark.createDataFrame([("a", "one", 1)], SCHEMA))  # v1
+    cat.append("t", spark.createDataFrame([("b", "two", 2)], SCHEMA))  # v2
+    cat.merge_by_key(  # v3: replaces 'a', keeps 'b'
+        "t", spark.createDataFrame([("a", "ONE", 10)], SCHEMA), key="image_id"
+    )
+    assert cat.snapshots("t") == [0, 1, 2, 3]
+    assert cat.read("t", version=0).count() == 0
+    assert {r["image_id"] for r in cat.read("t", version=1).collect()} == {"a"}
+    assert {r["image_id"] for r in cat.read("t", version=2).collect()} == {"a", "b"}
+    now = {r["image_id"]: r["caption"] for r in cat.read("t").collect()}
+    assert now == {"a": "ONE", "b": "two"}
+
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == [0, 1]
+    assert cat.snapshots("t") == [2, 3]
+    # retained snapshots still read correctly after the expiry deletes
+    assert {r["image_id"] for r in cat.read("t", version=2).collect()} == {"a", "b"}
+    assert {r["caption"] for r in cat.read("t").collect()} == {"ONE", "two"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.read("t", version=1)
+
+
+def test_append_never_rewrites_files(spark, cat, tmp_path):
+    """Commits are append-only at the file level (Iceberg invariant):
+    an append leaves every pre-existing data file byte-identical."""
+    import glob
+    import hashlib
+    import os
+
+    cat.create_table("t2", SCHEMA)
+    cat.append("t2", spark.createDataFrame([("a", "one", 1)], SCHEMA))
+    data = os.path.join(cat.root, "t2", "data")
+
+    def digests():
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+        }
+
+    before = digests()
+    cat.append("t2", spark.createDataFrame([("b", "two", 2)], SCHEMA))
+    after = digests()
+    assert set(before) < set(after)  # strictly new files added
+    assert all(after[f] == h for f, h in before.items())  # none rewritten
