@@ -144,3 +144,69 @@ def test_simhash_nbands_assertion():
 
     with _pytest.raises(AssertionError):
         simhash_pairs_from_sigs(None, "id", max_hamming=8, n_bands=4)
+
+
+def test_tune_bands_s_curve():
+    """Banding auto-tuning: guaranteed >= target recall at the
+    threshold, with the largest feasible rows-per-band (precision)."""
+    from bisque_spark.operators.dedup import tune_bands
+
+    for t in (0.2, 0.3, 0.5, 0.7, 0.9):
+        b, r = tune_bands(64, t)
+        assert b * r <= 64
+        assert 1 - (1 - t**r) ** b >= 0.9
+        # one more row per band would break the guarantee (maximal r)
+        if (64 // (r + 1)) >= 1:
+            b2 = 64 // (r + 1)
+            assert 1 - (1 - t ** (r + 1)) ** b2 < 0.9
+    # fixed 16x4 banding really is broken at low thresholds
+    assert 1 - (1 - 0.2**4) ** 16 < 0.03
+
+
+def test_minhash_candidate_recall_at_threshold(spark):
+    """Auto-tuned banding recovers >= 0.9 of the pairs whose TRUE
+    8-byte-shingle Jaccard clears the operating threshold (the ground
+    truth is computed exactly in numpy on the same shingle definition);
+    round-2-style fixed banding loses most of them."""
+    import itertools
+
+    import numpy as np
+
+    from bisque_spark.operators.dedup import minhash_dedup_pairs
+
+    def shingles(t):
+        data = t.encode("utf-8")
+        return {data[i : i + 8] for i in range(len(data) - 7)}
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i:03d}" for i in range(60)]
+    base = [vocab[i] for i in rng.choice(60, 25, replace=False)]
+    docs = []
+    for i in range(40):
+        keep = int(rng.randint(10, 25))
+        words = base[:keep] + [
+            vocab[j] for j in rng.choice(60, 25 - keep, replace=False)
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    threshold = 0.3
+    truth = {
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(docs, 2)
+        if len(shingles(ta) & shingles(tb))
+        / max(1, len(shingles(ta) | shingles(tb)))
+        >= threshold
+    }
+    assert len(truth) >= 30  # the corpus actually has qualifying pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    # est_jaccard >= threshold is itself an estimate, so compare against
+    # candidate coverage of the TRUE qualifying set
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, (recall, len(truth), len(got))
