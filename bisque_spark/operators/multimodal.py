@@ -233,6 +233,59 @@ def synth_audio(media_id: str, sample_rate: int = 8000) -> dict:
     }
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE container with 16-bit PCM → (int16 samples, rate).
+    Pure byte-layout parsing (walks the chunk list for fmt/data) — a
+    codec-free container, like PPM/BMP on the image side."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, bits, n_ch, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            if fmt_tag != 1:  # 1 = integer PCM
+                raise NotImplementedError(f"wav format tag {fmt_tag}")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("wav missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"wav bits={bits}")
+    wave = np.frombuffer(pcm, dtype=np.int16)
+    if n_ch and n_ch > 1:  # downmix to mono (mean of channels)
+        wave = (
+            wave[: len(wave) - len(wave) % n_ch]
+            .reshape(-1, n_ch)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return wave, rate
+
+
+def encode_wav(wave: np.ndarray, rate: int) -> bytes:
+    pcm = np.asarray(wave, dtype=np.int16).tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {
@@ -245,9 +298,12 @@ def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             err = None
             dur = rms = peak = None
             try:
-                if fmt != "pcm_s16le":
+                if fmt == "pcm_s16le":
+                    wave = np.frombuffer(bytes(data), dtype=np.int16)
+                elif fmt == "wav":
+                    wave, sr = decode_wav(bytes(data))
+                else:
                     raise NotImplementedError(fmt)
-                wave = np.frombuffer(bytes(data), dtype=np.int16)
                 dur = float(len(wave) / int(sr))
                 f = wave.astype(np.float64)
                 rms = float(np.sqrt((f * f).mean())) if len(f) else 0.0

@@ -145,3 +145,48 @@ def test_ppm_bmp_roundtrip_and_features(spark):
             assert abs(got[img][f"mean_{c}"] - want[c]) < 1e-9
     assert got["i-bad"]["error"].startswith("decode_error")
     assert got["i-jpg"]["error"] == "codec_unavailable:jpeg"
+
+
+def test_wav_roundtrip_and_features(spark):
+    """RIFF/WAVE 16-bit PCM: byte round-trip, chunk walking, stereo
+    downmix, and the audio_features stage vs a numpy oracle."""
+    import numpy as np
+
+    from bisque_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(5)
+    mono = (rng.standard_normal(801) * 2000).astype(np.int16)  # odd → pad
+    wave, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(wave, mono)
+
+    # stereo downmix: interleave L/R, expect per-frame channel mean
+    stereo = np.empty(400, dtype=np.int16)
+    stereo[0::2] = 100
+    stereo[1::2] = 300
+    blob = encode_wav(stereo, 8000)
+    blob = blob[:22] + (2).to_bytes(2, "little") + blob[24:]  # n_ch=2
+    wave2, _ = decode_wav(blob)
+    assert (wave2 == 200).all()
+
+    rows = [
+        ("m-wav", encode_wav(mono, 8000), "wav", 0),
+        ("m-raw", mono.tobytes(), "pcm_s16le", 8000),
+        ("m-mp3", b"\xffID3", "mp3", 44100),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, fmt string, sample_rate int"
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    f = mono.astype(np.float64)
+    want_rms = float(np.sqrt((f * f).mean()))
+    for mid in ("m-wav", "m-raw"):
+        assert got[mid]["error"] is None
+        assert abs(got[mid]["rms"] - want_rms) < 1e-6
+        assert abs(got[mid]["duration_s"] - 801 / 8000) < 1e-9
+    # the container's authoritative rate overrides the metadata column
+    assert got["m-wav"]["sample_rate"] == 8000
+    assert got["m-mp3"]["error"] == "codec_unavailable:mp3"
