@@ -62,6 +62,33 @@ def tune_bands(
     )
 
 
+_N_HASH_LADDER = (64, 128, 192, 256)
+
+
+def tune_signature(
+    threshold: float,
+    target_recall: float = 0.9,
+    min_rows: int = 3,
+    ladder: tuple[int, ...] = _N_HASH_LADDER,
+) -> tuple[int, int, int]:
+    """→ (n_hashes, bands, rows): the smallest signature width whose
+    tuned banding reaches ``target_recall`` at the threshold with
+    rows-per-band ≥ ``min_rows``. Junk admission per band scales like
+    j_junk^rows, so r=2 at mid thresholds admits orders of magnitude
+    more unrelated candidates than r=3 — at 10^10 docs that is the
+    difference between a bounded candidate join and quadratic blowup
+    (review finding r3). Falls back to smaller min_rows when even the
+    widest signature can't reach the target (very low thresholds —
+    where LSH pruning fundamentally cannot be both complete and
+    selective; use the exact variant there)."""
+    for rows_floor in range(min_rows, 0, -1):
+        for n in ladder:
+            b, r = tune_bands(n, threshold, target_recall)
+            if r >= rows_floor:
+                return n, b, r
+    return (ladder[-1], *tune_bands(ladder[-1], threshold, target_recall))
+
+
 def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(42)
     a = rng.randint(1, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
@@ -181,24 +208,31 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    n_hashes: int = 64,
+    n_hashes: int | None = None,
     bands: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) pairs above threshold.
 
-    ``bands=None`` (default) tunes the banding to the threshold via
-    tune_bands, so candidate recall at the operating point is ≥ 0.9 by
-    construction — a fixed banding silently loses most pairs once the
-    threshold drops below its S-curve midpoint.
+    Defaults tune the whole signature to the threshold
+    (tune_signature): candidate recall ≥ 0.9 at the operating point
+    (in SHINGLE-Jaccard terms — the quantity MinHash estimates), with
+    rows-per-band ≥ 3 for junk-candidate selectivity, widening the
+    signature when needed. A fixed banding silently loses most pairs
+    once the threshold drops below its S-curve midpoint; a too-narrow
+    one admits quadratic junk. Explicit ``n_hashes``/``bands`` override
+    the tuning.
 
     Signatures are pinned across the LSH self-join — otherwise the
     signature UDF runs twice (once per join side); released by the
     consumer via util.release_caches (caller-owns-cache contract)."""
     from bisque_spark.util import pin
 
-    if bands is None:
+    if bands is None and n_hashes is None:
+        n_hashes, bands, rows_per_band = tune_signature(threshold)
+    elif bands is None:
         bands, rows_per_band = tune_bands(n_hashes, threshold)
     else:
+        n_hashes = n_hashes or 64
         rows_per_band = n_hashes // bands
     sigs = pin(minhash_signatures(df, id_col, text_col, n_hashes=n_hashes))
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
@@ -345,20 +379,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates: MinHash prunes the
     pair space, then jaccard = |∩|/|∪| fully JVM-side. Approximate-
-    recall by construction (candidates only) — ``bands=None`` tunes the
-    banding to the threshold (tune_bands) so the candidate S-curve
-    keeps ≥ 0.9 recall at the operating point (a fixed 16×4 banding
-    finds ~2.5% of threshold-0.2 pairs). Note the pruning key is
-    SHINGLE Jaccard while the verify is token-n-gram Jaccard — related
-    but not identical measures; ngram_jaccard_pairs_exact is the
-    all-pairs baseline."""
+    recall by construction (candidates only).
+
+    The pruning key is SHINGLE Jaccard while the verify threshold is
+    token-n-gram Jaccard — related but NOT identical measures (a pair
+    at token-gram jaccard t can sit below t in shingle space), so the
+    S-curve guarantee cannot transfer exactly. ``bands=None`` therefore
+    tunes the signature at a conservative ``threshold/2`` proxy margin:
+    recall ≥ 0.9 holds for every pair whose shingle jaccard is at
+    least half the token threshold (heuristically almost all
+    qualifying pairs; the relationship is corpus-dependent). For a
+    guaranteed-complete answer, or thresholds below ~0.2 where LSH
+    pruning cannot be both complete and selective, use
+    ngram_jaccard_pairs_exact."""
     from bisque_spark.util import pin
 
     if bands is None:
-        bands, rows_per_band = tune_bands(64, threshold)
+        n_hashes, bands, rows_per_band = tune_signature(
+            max(0.05, threshold / 2)
+        )
     else:
-        rows_per_band = 64 // bands
-    sigs = pin(minhash_signatures(df, id_col, text_col))
+        n_hashes, rows_per_band = 64, 64 // bands
+    sigs = pin(minhash_signatures(df, id_col, text_col, n_hashes=n_hashes))
     cand = lsh_candidate_pairs(
         sigs, id_col, bands, rows_per_band, attach_sigs=False
     )

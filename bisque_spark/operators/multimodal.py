@@ -270,17 +270,25 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(wave: np.ndarray, rate: int) -> bytes:
-    pcm = np.asarray(wave, dtype=np.int16).tobytes()
+    """16-bit PCM → RIFF/WAVE. A 2-D (frames, channels) array encodes
+    as interleaved multi-channel with the channel count in the header;
+    1-D encodes mono."""
+    arr = np.asarray(wave, dtype=np.int16)
+    n_ch = arr.shape[1] if arr.ndim == 2 else 1
+    pcm = np.ascontiguousarray(arr).tobytes()
+    block_align = 2 * n_ch
     fmt = (
         (1).to_bytes(2, "little")
-        + (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
-        + (rate * 2).to_bytes(4, "little")
-        + (2).to_bytes(2, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
         + (16).to_bytes(2, "little")
     )
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    # RIFF chunks are word-aligned; int16 PCM is always even, so this
+    # pad only fires if a future 8-bit path reuses the encoder
     if len(pcm) & 1:
         chunks += b"\x00"
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks

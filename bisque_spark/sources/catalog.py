@@ -65,7 +65,20 @@ class ParquetCatalog:
 
     def _read_manifest(self, name: str) -> dict:
         with open(self._manifest_path(name)) as f:
-            return json.load(f)
+            m = json.load(f)
+        if "snapshots" not in m:
+            # manifest written by the pre-snapshot catalog: synthesize a
+            # single current snapshot from a directory scan (exactly
+            # what the old read() did), so legacy tables keep working
+            data = self._data(name)
+            files = sorted(
+                os.path.relpath(os.path.join(r, fn), data)
+                for r, _d, fns in os.walk(data)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            m["snapshots"] = {str(m["version"]): files}
+        return m
 
     def _write_manifest(self, name: str, manifest: dict) -> None:
         # the commit IS this atomic pointer swap (Iceberg semantics):
@@ -137,27 +150,61 @@ class ParquetCatalog:
             .parquet(*[os.path.join(data, f) for f in files])
         )
 
+    def _commit_lock(self, name: str):
+        """Single-writer-per-table lock (O_CREAT|O_EXCL lock file).
+        The manifest swap alone is atomic for READERS but a concurrent
+        writer pair would read-modify-write the same base version and
+        the second commit would orphan the first's files; Iceberg
+        solves this with a catalog compare-and-swap — the posix shim
+        equivalent is this lock held across stage+commit."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def lock():
+            path = os.path.join(self._dir(name), "_commit.lock")
+            deadline = time.time() + 60.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"commit lock for table {name!r} held > 60 s "
+                            f"({path})"
+                        ) from None
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.remove(path)
+
+        return lock()
+
     def append(self, name: str, df: DataFrame) -> None:
-        m = self._read_manifest(name)
-        new_files = self._stage_files(name, df, m["partition_by"])
-        prev = m["snapshots"][str(m["version"])]
-        m["version"] += 1
-        m["snapshots"][str(m["version"])] = prev + new_files
-        self._write_manifest(name, m)
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            new_files = self._stage_files(name, df, m["partition_by"])
+            prev = m["snapshots"][str(m["version"])]
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = prev + new_files
+            self._write_manifest(name, m)
 
     def merge_by_key(self, name: str, df: DataFrame, key: str) -> None:
         """Upsert: incoming rows replace existing rows with equal key.
         The previous snapshot's files stay on disk → time travel."""
-        m = self._read_manifest(name)
-        current = self.read(name)
-        merged = df.unionByName(
-            current.join(df.select(key), on=key, how="left_anti")
-        )
-        new_files = self._stage_files(name, merged, m["partition_by"])
-        m["version"] += 1
-        m["snapshots"][str(m["version"])] = new_files
-        m["last_merge_ts"] = time.time()
-        self._write_manifest(name, m)
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            current = self.read(name)
+            merged = df.unionByName(
+                current.join(df.select(key), on=key, how="left_anti")
+            )
+            new_files = self._stage_files(name, merged, m["partition_by"])
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = new_files
+            m["last_merge_ts"] = time.time()
+            self._write_manifest(name, m)
 
     def version(self, name: str) -> int:
         return self._read_manifest(name)["version"]
@@ -168,10 +215,17 @@ class ParquetCatalog:
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots and delete
         data files no retained snapshot references. Returns the expired
-        versions."""
+        versions. ``keep_last`` must be ≥ 1 — the CURRENT snapshot is
+        always retained (Iceberg invariant; expiring it would delete
+        the live data and brick the table)."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): the current "
+                "snapshot is always retained"
+            )
         m = self._read_manifest(name)
         versions = sorted(int(k) for k in m["snapshots"])
-        expired = versions[:-keep_last] if keep_last > 0 else versions
+        expired = versions[:-keep_last]
         retained = versions[len(expired):]
         keep_files = {
             f for v in retained for f in m["snapshots"][str(v)]

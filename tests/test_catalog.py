@@ -115,3 +115,30 @@ def test_append_never_rewrites_files(spark, cat, tmp_path):
     after = digests()
     assert set(before) < set(after)  # strictly new files added
     assert all(after[f] == h for f, h in before.items())  # none rewritten
+
+
+def test_expire_protects_current_snapshot(spark, cat):
+    cat.create_table("t3", SCHEMA)
+    cat.append("t3", spark.createDataFrame([("a", "one", 1)], SCHEMA))
+    with pytest.raises(ValueError):
+        cat.expire_snapshots("t3", keep_last=0)
+    assert cat.read("t3").count() == 1  # untouched
+
+
+def test_legacy_manifest_migration(spark, cat, tmp_path):
+    """A manifest written by the pre-snapshot catalog (no 'snapshots'
+    key) is readable: the current version is synthesized from a data
+    directory scan, and the next commit upgrades the format."""
+    import json
+    import os
+
+    cat.create_table("t4", SCHEMA)
+    cat.append("t4", spark.createDataFrame([("a", "one", 1)], SCHEMA))
+    mp = os.path.join(cat.root, "t4", "_manifest.json")
+    m = json.load(open(mp))
+    del m["snapshots"]  # simulate the old format
+    json.dump(m, open(mp, "w"))
+    assert cat.read("t4").count() == 1
+    cat.append("t4", spark.createDataFrame([("b", "two", 2)], SCHEMA))
+    assert cat.read("t4").count() == 2
+    assert "snapshots" in json.load(open(mp))

@@ -210,3 +210,18 @@ def test_minhash_candidate_recall_at_threshold(spark):
     # candidate coverage of the TRUE qualifying set
     recall = len(got & truth) / len(truth)
     assert recall >= 0.85, (recall, len(truth), len(got))
+
+
+def test_tune_signature_prefers_selective_bands():
+    """The signature ladder widens n_hashes until rows-per-band >= 3 is
+    feasible at the recall target — r=2 admits ~j^2-per-band junk, a
+    quadratic-blowup risk at scale."""
+    from bisque_spark.operators.dedup import tune_bands, tune_signature
+
+    for t in (0.35, 0.5, 0.7):
+        n, b, r = tune_signature(t)
+        assert r >= 3 and b * r <= n
+        assert 1 - (1 - t**r) ** b >= 0.9
+    # narrow signatures at t=0.35 would be stuck at r=2
+    assert tune_bands(64, 0.35)[1] == 2
+    assert tune_signature(0.35)[0] > 64

@@ -159,18 +159,17 @@ def test_wav_roundtrip_and_features(spark):
     )
 
     rng = np.random.RandomState(5)
-    mono = (rng.standard_normal(801) * 2000).astype(np.int16)  # odd → pad
+    mono = (rng.standard_normal(801) * 2000).astype(np.int16)
     wave, rate = decode_wav(encode_wav(mono, 8000))
     assert rate == 8000 and np.array_equal(wave, mono)
 
-    # stereo downmix: interleave L/R, expect per-frame channel mean
-    stereo = np.empty(400, dtype=np.int16)
-    stereo[0::2] = 100
-    stereo[1::2] = 300
-    blob = encode_wav(stereo, 8000)
-    blob = blob[:22] + (2).to_bytes(2, "little") + blob[24:]  # n_ch=2
-    wave2, _ = decode_wav(blob)
-    assert (wave2 == 200).all()
+    # stereo downmix: (frames, 2) encodes interleaved with n_ch=2 in
+    # the header; decode returns the per-frame channel mean
+    stereo = np.stack(
+        [np.full(200, 100, np.int16), np.full(200, 300, np.int16)], axis=1
+    )
+    wave2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert len(wave2) == 200 and (wave2 == 200).all()
 
     rows = [
         ("m-wav", encode_wav(mono, 8000), "wav", 0),
