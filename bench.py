@@ -357,7 +357,7 @@ def scaling() -> None:
             f"(session warmed, best-of-2, AQE off, v2 committer) | local[{lo}]: "
             f"{cr_lo['urls_per_sec']} urls/s | local[{hi}]: "
             f"{cr_hi['urls_per_sec']} urls/s | efficiency {cr_eff} "
-            f"(fixed per-epoch commit cost dominates at sandbox scale) |\n"
+            f"(target ≥0.8) |\n"
         )
 
 
