@@ -649,13 +649,15 @@ def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "ht
     from bisque_spark.util import spread
 
     def run(batches):
+        # parse the selector ONCE per task, not once per document
+        compiled = CompiledSelector(selector)
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in _FIELDS}
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 if html is None:
                     continue
                 nodes = parse_nodes(html)
-                for hit in select(nodes, selector):
+                for hit in compiled.select(nodes):
                     out["url"].append(url)
                     for k in _FIELDS[1:]:
                         out[k].append(hit[k])

@@ -83,10 +83,21 @@ def tune_signature(
     selective; use the exact variant there)."""
     for rows_floor in range(min_rows, 0, -1):
         for n in ladder:
-            b, r = tune_bands(n, threshold, target_recall)
+            try:
+                b, r = tune_bands(n, threshold, target_recall)
+            except ValueError:
+                continue  # this width infeasible at the threshold — widen
             if r >= rows_floor:
                 return n, b, r
-    return (ladder[-1], *tune_bands(ladder[-1], threshold, target_recall))
+    try:
+        return (ladder[-1], *tune_bands(ladder[-1], threshold, target_recall))
+    except ValueError:
+        raise ValueError(
+            f"no signature width in {ladder} reaches recall "
+            f"{target_recall} at threshold {threshold}; LSH pruning is "
+            "infeasible here — use ngram_jaccard_pairs_exact / "
+            "exact_dedup instead"
+        ) from None
 
 
 def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:

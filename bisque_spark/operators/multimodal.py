@@ -322,7 +322,12 @@ def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 err = f"decode_error:{type(exc).__name__}"
             out["media_id"].append(media_id)
             out["fmt"].append(fmt)
-            out["sample_rate"].append(int(sr))
+            # sr can be null/NaN when the decode above failed before
+            # normalizing it — emit the row with error set, don't let
+            # int(NaN) kill the whole Arrow batch
+            out["sample_rate"].append(
+                int(sr) if sr is not None and not pd.isna(sr) else None
+            )
             out["duration_s"].append(dur)
             out["rms"].append(rms)
             out["peak"].append(peak)

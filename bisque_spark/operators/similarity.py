@@ -278,7 +278,13 @@ def ivf_query(
     cmat = np.array(centroids, dtype=np.float64)
     cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
     q = np.array(query, dtype=np.float64)
-    q = q / np.linalg.norm(q)
+    qn = float(np.linalg.norm(q))
+    if qn < 1e-12:
+        raise ValueError(
+            "ivf_query: zero-norm query vector — cosine probe scores "
+            "are undefined (0/0); pass a non-zero embedding"
+        )
+    q = q / qn
     probe_cells = [int(c) for c in (cmat @ q).argsort()[::-1][:n_probe]]
     qcol = F.array(*[F.lit(float(v)) for v in query])
     scored = assigned.where(F.col("cell").isin(probe_cells)).select(

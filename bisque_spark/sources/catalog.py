@@ -191,18 +191,85 @@ class ParquetCatalog:
             m["snapshots"][str(m["version"])] = prev + new_files
             self._write_manifest(name, m)
 
-    def merge_by_key(self, name: str, df: DataFrame, key: str) -> None:
+    def _read_files(self, name: str, schema: str, files: list[str]) -> DataFrame:
+        data = self._data(name)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", data)
+            .parquet(*[os.path.join(data, f) for f in files])
+        )
+
+    def _hit_files(
+        self, name: str, m: dict, files: list[str], df: DataFrame
+    ) -> list[str]:
+        """Data files whose partition values intersect df's partition
+        values. Matching is delegated to Spark's own partition-path
+        parsing (``input_file_name`` on a basePath read) so Hive-style
+        escaping and null markers never need reimplementing here; the
+        scan touches only footers + directory-derived partition columns.
+        """
+        parts = m["partition_by"]
+        incoming = df.select(*parts).distinct()
+        per_file = (
+            self._read_files(name, m["schema"], files)
+            .select(*parts)
+            .withColumn("__file", F.input_file_name())
+            .distinct()
+            .join(F.broadcast(incoming), on=parts, how="left_semi")
+            .select("__file")
+            .collect()
+        )
+        data = os.path.realpath(self._data(name))
+        hit = set()
+        for r in per_file:
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            hit.add(os.path.relpath(os.path.realpath(p), data))
+        return [f for f in files if f in hit]
+
+    def merge_by_key(
+        self, name: str, df: DataFrame, key: str, prune: bool = True
+    ) -> None:
         """Upsert: incoming rows replace existing rows with equal key.
-        The previous snapshot's files stay on disk → time travel."""
+        The previous snapshot's files stay on disk → time travel.
+
+        Copy-on-write at FILE granularity (Iceberg MERGE shape): only
+        data files whose partition values intersect the incoming rows'
+        partitions are rewritten; every untouched file is carried into
+        the new snapshot by reference. At 100 TB a merge touching one
+        partition rewrites that partition, not the table.
+
+        ``prune=True`` assumes a key's partition values are stable
+        across upserts (true whenever the partition columns are a
+        function of the key, e.g. hash-bucketed url_hash). If a key can
+        MOVE between partitions, pass ``prune=False`` to fall back to
+        the full-scan anti-join, otherwise the old row in the departed
+        partition would survive.
+        """
         with self._commit_lock(name):
             m = self._read_manifest(name)
-            current = self.read(name)
-            merged = df.unionByName(
-                current.join(df.select(key), on=key, how="left_anti")
-            )
-            new_files = self._stage_files(name, merged, m["partition_by"])
+            prev = m["snapshots"][str(m["version"])]
+            parts = m["partition_by"]
+            if prune and parts and prev:
+                hit = self._hit_files(name, m, prev, df)
+                carried = [f for f in prev if f not in set(hit)]
+                if hit:
+                    survivors = self._read_files(name, m["schema"], hit).join(
+                        df.select(key), on=key, how="left_anti"
+                    )
+                    merged = df.unionByName(survivors)
+                else:
+                    merged = df
+            else:
+                carried = []
+                current = self.read(name)
+                merged = df.unionByName(
+                    current.join(df.select(key), on=key, how="left_anti")
+                )
+            new_files = self._stage_files(name, merged, parts)
             m["version"] += 1
-            m["snapshots"][str(m["version"])] = new_files
+            m["snapshots"][str(m["version"])] = sorted(carried) + new_files
             m["last_merge_ts"] = time.time()
             self._write_manifest(name, m)
 
@@ -223,24 +290,29 @@ class ParquetCatalog:
                 f"keep_last must be >= 1 (got {keep_last}): the current "
                 "snapshot is always retained"
             )
-        m = self._read_manifest(name)
-        versions = sorted(int(k) for k in m["snapshots"])
-        expired = versions[:-keep_last]
-        retained = versions[len(expired):]
-        keep_files = {
-            f for v in retained for f in m["snapshots"][str(v)]
-        }
-        drop_files = {
-            f
-            for v in expired
-            for f in m["snapshots"][str(v)]
-            if f not in keep_files
-        }
-        # manifest swap FIRST (readers stop seeing expired snapshots),
-        # then physical deletes — a crash in between leaks files, never
-        # corrupts a retained snapshot
-        m["snapshots"] = {str(v): m["snapshots"][str(v)] for v in retained}
-        self._write_manifest(name, m)
+        # the manifest read→rewrite is itself a commit: without the lock
+        # a concurrent append/merge landing in between would be silently
+        # erased by this rewrite (lost update — version pointer regresses
+        # and the committed files are orphaned)
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            versions = sorted(int(k) for k in m["snapshots"])
+            expired = versions[:-keep_last]
+            retained = versions[len(expired):]
+            keep_files = {
+                f for v in retained for f in m["snapshots"][str(v)]
+            }
+            drop_files = {
+                f
+                for v in expired
+                for f in m["snapshots"][str(v)]
+                if f not in keep_files
+            }
+            # manifest swap FIRST (readers stop seeing expired snapshots),
+            # then physical deletes — a crash in between leaks files, never
+            # corrupts a retained snapshot
+            m["snapshots"] = {str(v): m["snapshots"][str(v)] for v in retained}
+            self._write_manifest(name, m)
         data = self._data(name)
         for f in drop_files:
             try:

@@ -142,3 +142,81 @@ def test_legacy_manifest_migration(spark, cat, tmp_path):
     cat.append("t4", spark.createDataFrame([("b", "two", 2)], SCHEMA))
     assert cat.read("t4").count() == 2
     assert "snapshots" in json.load(open(mp))
+
+
+def test_merge_copy_on_write_prunes_partitions(spark, cat):
+    """MERGE rewrites ONLY data files whose partition values intersect
+    the incoming rows' partitions (Iceberg copy-on-write shape): the
+    untouched partitions' file paths are carried into the new snapshot
+    BY REFERENCE — identical path lists across snapshots — and the
+    merged result equals a full recompute. At 100 TB a merge touching
+    one partition rewrites that partition, not the table."""
+    import json
+    import os
+
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("cow", schema, partition_by=["bucket"])
+    base = spark.createDataFrame(
+        [("a", 0, "one"), ("b", 1, "two"), ("c", 2, "three"), ("d", 1, "four")],
+        schema,
+    )
+    cat.append("cow", base)  # v1
+
+    delta = spark.createDataFrame(
+        [("b", 1, "TWO"), ("e", 1, "five")], schema  # touches bucket=1 only
+    )
+    cat.merge_by_key("cow", delta, key="image_id")  # v2
+
+    # (a) result equality with a full recompute
+    rows = {r["image_id"]: (r["bucket"], r["caption"]) for r in cat.read("cow").collect()}
+    assert rows == {
+        "a": (0, "one"), "b": (1, "TWO"), "c": (2, "three"),
+        "d": (1, "four"), "e": (1, "five"),
+    }
+
+    # (b) untouched partitions' file paths IDENTICAL across snapshots
+    m = json.load(open(os.path.join(cat.root, "cow", "_manifest.json")))
+    v1, v2 = set(m["snapshots"]["1"]), set(m["snapshots"]["2"])
+    untouched_v1 = {f for f in v1 if "bucket=1" not in f}
+    untouched_v2 = {f for f in v2 if "bucket=1" not in f}
+    assert untouched_v1 == untouched_v2 and untouched_v1  # carried by reference
+    touched_v1 = v1 - untouched_v1
+    touched_v2 = v2 - untouched_v2
+    assert touched_v1.isdisjoint(touched_v2)  # hit partition fully rewritten
+
+    # (c) time travel still works
+    old = {r["image_id"]: r["caption"] for r in cat.read("cow", version=1).collect()}
+    assert old == {"a": "one", "b": "two", "c": "three", "d": "four"}
+
+
+def test_merge_cow_new_partition_and_no_prune(spark, cat):
+    """A merge whose keys land only in a partition the table has never
+    seen rewrites NOTHING (all current files carried); prune=False
+    falls back to the full-scan path and still produces the same rows."""
+    import json
+    import os
+
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("cow2", schema, partition_by=["bucket"])
+    cat.append(
+        "cow2",
+        spark.createDataFrame([("a", 0, "one"), ("b", 1, "two")], schema),
+    )  # v1
+    cat.merge_by_key(
+        "cow2",
+        spark.createDataFrame([("z", 9, "nine")], schema),
+        key="image_id",
+    )  # v2: brand-new partition
+    m = json.load(open(os.path.join(cat.root, "cow2", "_manifest.json")))
+    v1, v2 = set(m["snapshots"]["1"]), set(m["snapshots"]["2"])
+    assert v1 < v2  # every v1 file carried; only new files added
+    assert cat.read("cow2").count() == 3
+
+    cat.merge_by_key(
+        "cow2",
+        spark.createDataFrame([("a", 0, "ONE")], schema),
+        key="image_id",
+        prune=False,
+    )  # v3: full-scan fallback
+    rows = {r["image_id"]: r["caption"] for r in cat.read("cow2").collect()}
+    assert rows == {"a": "ONE", "b": "two", "z": "nine"}

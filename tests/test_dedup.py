@@ -225,3 +225,19 @@ def test_tune_signature_prefers_selective_bands():
     # narrow signatures at t=0.35 would be stuck at r=2
     assert tune_bands(64, 0.35)[1] == 2
     assert tune_signature(0.35)[0] > 64
+
+
+def test_tune_signature_ladder_survives_infeasible_widths():
+    """Thresholds where n=64 can't reach the recall target must climb
+    the ladder to a wider signature instead of propagating ValueError
+    (advice r3); a threshold no width can serve raises with a pointer
+    at the exact variants."""
+    import pytest
+
+    from bisque_spark.operators.dedup import tune_signature
+
+    for t in (0.009, 0.02, 0.034):
+        n, b, r = tune_signature(t)
+        assert n >= 128 and b * r <= n and r >= 1
+    with pytest.raises(ValueError, match="exact"):
+        tune_signature(0.0001)

@@ -189,3 +189,21 @@ def test_wav_roundtrip_and_features(spark):
     # the container's authoritative rate overrides the metadata column
     assert got["m-wav"]["sample_rate"] == 8000
     assert got["m-mp3"]["error"] == "codec_unavailable:mp3"
+
+
+def test_audio_features_null_sample_rate_on_bad_fmt(spark):
+    """A row whose fmt is unsupported AND whose sample_rate is null must
+    come back with the error column set — not kill the Arrow batch via
+    int(None) (advice r3)."""
+    from bisque_spark.operators.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"\x00\x01"), "mp3", None),
+         ("m2", bytearray((np.sin(np.arange(80) / 5) * 3000).astype(np.int16).tobytes()),
+          "pcm_s16le", 8000)],
+        "media_id string, bytes binary, fmt string, sample_rate int",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert rows["m1"]["error"] == "codec_unavailable:mp3"
+    assert rows["m1"]["sample_rate"] is None
+    assert rows["m2"]["error"] is None and rows["m2"]["duration_s"] > 0

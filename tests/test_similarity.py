@@ -214,3 +214,19 @@ def test_ivf_clustered_recall_beats_lowest_id_quantizer(spark):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_ivf_query_rejects_zero_norm_query(spark):
+    """An all-zero query vector must raise cleanly instead of producing
+    NaN probe scores and an arbitrary probe set (advice r3)."""
+    import pytest
+
+    from bisque_spark.operators.similarity import ivf_build, ivf_query
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(30)],
+        "vec_id int, embedding array<float>",
+    )
+    assigned, centroids = ivf_build(df, n_cells=4)
+    with pytest.raises(ValueError, match="zero-norm"):
+        ivf_query(assigned, centroids, query=[0.0, 0.0, 0.0], k=3)
