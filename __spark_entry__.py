@@ -532,25 +532,35 @@ def _q_image_thumbnails(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
-    """Multimodal decode+feature plumbing over deterministic images."""
-    from bisque_spark.operators.multimodal import image_features
+    """Multimodal decode + feature + thumbnail plumbing over
+    deterministic images (absorbs the former image_thumbnails entry —
+    the driver grades only the first 50 queries, VERDICT r3 #2; the
+    resize path keeps its own operator + pixel-level pytest oracle)."""
+    from bisque_spark.operators.multimodal import image_features, image_thumbnails
     from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.util import pin
 
     ids = spark.range(200).select(
         F.concat(F.lit("img-bench-"), F.col("id")).alias("image_id"),
         F.lit("").alias("caption"),
     )
-    images = ids.mapInPandas(
-        materialize_images_batches,
-        schema="image_id string, bytes binary, w int, h int, fmt string, "
-        "caption string, phash long",
+    images = pin(
+        ids.mapInPandas(
+            materialize_images_batches,
+            schema="image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long",
+        )
     )
     feats = image_features(images)
-    return feats.select(
+    th = image_thumbnails(images, target=8).select(
+        "image_id", F.md5(F.col("thumb")).alias("thumb_md5")
+    )
+    return feats.join(th, "image_id").select(
         "image_id", "w", "h", "fmt",
         F.round("mean_r", 4).alias("mean_r"),
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
+        "thumb_md5",
     )
 
 
@@ -1039,8 +1049,84 @@ def _q_css_select(spark, sf_dir):
     return hits.select("url", "pos", "name", "depth")
 
 
+def _q_parse_pipeline(spark, sf_dir):
+    """Composite parse surface (SURVEY §2.2) as ONE graded entry — the
+    driver grades only the first 50 ``queries()`` keys (VERDICT r3 #2),
+    so the three parse demonstrations fold into one row per document
+    while each keeps its authentic code path: ``find_all`` runs as
+    DataFrame ops over exploded nodes (string co-filter semi-join),
+    CSS through the fused Arrow ``select_stage``, and the
+    parse→serialize fixpoint in its own Arrow pass. Oracles =
+    reference-diff pytest suites (test_nodes / test_css /
+    test_serialize, byte-equal); rows-only here."""
+    import re
+
+    import pandas as pd
+
+    from bisque_spark.functions.css import select_stage
+    from bisque_spark.operators.nodes import explode_nodes, find_all, strainer
+    from bisque_spark.parse import parse_nodes, serialize_nodes
+    from bisque_spark.util import pin
+
+    docs = _load(spark, sf_dir, "documents")
+    pages = pin(
+        docs.select(
+            F.concat(F.lit("http://docs.test/d"), F.col("doc_id")).alias("url"),
+            F.concat(
+                F.lit('<div class="outer"><p class="body  text a">'),
+                F.substring("text", 1, 120),
+                F.lit(' &amp; tail</p><p class="a b">x</p>'),
+                F.lit('<ul><li><a href="/n.html" rel="next  page">n</a></li></ul>'),
+                F.lit("<br><pre> k </pre></div>"),
+            ).alias("html"),
+        )
+    )
+    nodes = explode_nodes(pages, html_col="html")
+    fa = (
+        find_all(nodes, strainer("p", class_="text"), string=re.compile("the"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_find_all"))
+    )
+    css = (
+        select_stage(pages, "div.outer > p.a.b, a[rel~=next]")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_css"))
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            urls, fix = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                once = serialize_nodes(parse_nodes(html))
+                twice = serialize_nodes(parse_nodes(once))
+                urls.append(url)
+                fix.append(once == twice)
+            yield pd.DataFrame({"url": urls, "fixpoint": fix})
+
+    rt = pages.mapInPandas(roundtrip, schema="url string, fixpoint boolean")
+    return (
+        rt.join(fa, "url", "left")
+        .join(css, "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_find_all", F.lit(0)).alias("n_find_all"),
+            F.coalesce("n_css", F.lit(0)).alias("n_css"),
+            "fixpoint",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries, every DuckDB-verifiable (oracle-backed)
+    query BEFORE the rows-only ones: the driver grades the first 50
+    keys, so this ordering guarantees CORRECTNESS_r{N} carries a row
+    for every key and the full hash-verified set every round
+    (VERDICT r3 Next-round #2). The former nodes_find_all / css_select
+    / serialize_roundtrip entries are folded into parse_pipeline, and
+    image_thumbnails into image_features — same code paths, fewer
+    slots; their pytest oracles are unchanged."""
     return {
+        # -- 37 oracle-backed (DuckDB row+schema+hash verified) ------------
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -1051,26 +1137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "emb_label_stats": _q_emb_label_stats,
         "emb_knn_query0": _q_emb_knn_query0,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "doc_langid": _q_doc_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "emb_exact_near_pairs": _q_emb_exact_near_pairs,
         "doc_lang_run_clusters": _q_doc_lang_run_clusters,
-        "doc_dup_clusters": _q_doc_dup_clusters,
-        "doc_curation_pipeline": _q_doc_curation_pipeline,
-        "extract_captions": _q_extract_captions,
         "crawl_epoch_schedule": _q_crawl_epoch,
-        "image_features": _q_image_features,
-        "image_phash_pairs": _q_image_phash_pairs,
-        "image_thumbnails": _q_image_thumbnails,
-        "audio_features": _q_audio_features,
-        "validate_images": _q_validate_images,
-        "nodes_find_all": _q_nodes_find_all,
-        "css_select": _q_css_select,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_balance_by_nation": _q_supplier_balance_by_nation,
         "orders_by_month": _q_orders_by_month,
@@ -1082,18 +1154,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_daily": _q_events_user_daily,
         "events_asof_join": _q_events_asof_join,
         "emb_dim_stats": _q_emb_dim_stats,
-        "emb_ivf_topk": _q_emb_ivf_topk,
         "events_time_rollup": _q_events_time_rollup,
         "events_rollup_incremental": _q_events_rollup_incremental,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "events_value_stats": _q_events_value_stats,
-        "serialize_roundtrip": _q_serialize_roundtrip,
         "pricing_rollup": _q_pricing_rollup,
         "orders_status_cube": _q_orders_status_cube,
         "customers_without_orders": _q_customers_without_orders,
         "active_users_both_types": _q_active_users_both_types,
+        # -- 13 rows-only (oracle = reference/numpy via pytest) ------------
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_embedding_pairs": _q_lsh_embedding_pairs,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
+        "extract_captions": _q_extract_captions,
+        "image_features": _q_image_features,
+        "image_phash_pairs": _q_image_phash_pairs,
+        "audio_features": _q_audio_features,
+        "validate_images": _q_validate_images,
+        "parse_pipeline": _q_parse_pipeline,
+        "emb_ivf_topk": _q_emb_ivf_topk,
     }
 
 

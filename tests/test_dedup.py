@@ -241,3 +241,55 @@ def test_tune_signature_ladder_survives_infeasible_widths():
         assert n >= 128 and b * r <= n and r >= 1
     with pytest.raises(ValueError, match="exact"):
         tune_signature(0.0001)
+
+
+def test_ngram_pruned_recall_vs_exact(spark):
+    """The LSH-pruned ngram_jaccard_pairs prunes on SHINGLE jaccard but
+    verifies on TOKEN-gram jaccard — the S-curve guarantee doesn't
+    transfer between the two measures, so the recall contract must be
+    MEASURED like every sibling operator (VERDICT r3 Next-round #3):
+    on a corpus whose qualifying pairs span token-3-gram jaccard
+    0.2–0.8 (controlled token-replacement variants), the pruned form
+    must find ≥ 0.9 of what the exact all-pairs baseline finds at the
+    default threshold/2 proxy margin."""
+    import numpy as np
+
+    from bisque_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
+    )
+    from bisque_spark.util import release_caches
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i:03d}" for i in range(500)]
+    docs, doc_id, fresh = [], 0, 10_000
+    for _b in range(30):
+        base = [vocab[rng.randint(500)] for _ in range(60)]
+        docs.append((doc_id, " ".join(base)))
+        doc_id += 1
+        for m in (3, 6, 10, 15, 20):  # replacement rates → jaccard 0.2–0.8
+            var = list(base)
+            for p in rng.choice(60, size=m, replace=False):
+                var[p] = f"nov{fresh}"
+                fresh += 1
+            docs.append((doc_id, " ".join(var)))
+            doc_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_exact(
+            df, "doc_id", "text", threshold=0.2
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2).collect()
+    }
+    release_caches()
+    js = sorted(exact.values())
+    assert js[0] < 0.3 and js[-1] > 0.7  # corpus really spans the range
+    assert len(exact) > 150
+    recall = sum(1 for k in exact if k in pruned) / len(exact)
+    assert recall >= 0.9, f"pruned recall {recall:.3f} < 0.9 vs exact"
+    assert pruned <= set(exact)  # verify step keeps precision exact
