@@ -17,7 +17,14 @@ src/bisque/tests/css_test.py, plus the common pseudo-classes): tag,
 ``:only-child``, ``:not(<compound>)``, ``:is(<selector list>)`` /
 ``:where(...)``, ``:has(<relative selector list>)`` (descendant,
 ``>``, ``+``, ``~`` anchors), the descendant / ``>`` / ``+`` / ``~``
-combinators, and ``,`` grouping. Functional pseudo-class arguments are
+combinators, ``,`` grouping, and namespace selectors ``ns|tag``,
+``|tag``, ``*|tag``, ``[ns|attr]``, ``[*|attr]`` with soupsieve
+semantics (prefixes resolve through the ``namespaces=`` dict, which
+defaults to the document's own ``xmlns:p`` declarations exactly like
+the reference's ``Tag.namespaces``; a default ``""`` entry constrains
+unprefixed type selectors; xmlns scoping — including mid-document
+re-declaration — is resolved per element from the attributes the
+parser already carries). Functional pseudo-class arguments are
 parsed with balanced parens (``:is(p:nth-child(2n+1))`` works). Quoted
 attribute values may use single or double quotes and may contain
 spaces/brackets.
@@ -32,10 +39,10 @@ from bisque_spark.parse import is_cdata_list_attr, split_cdata_list
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<tag>[a-zA-Z][\w-]*|\*)
+    (?:(?P<tns>[\w-]*|\*)\|(?!=))?(?P<tag>[a-zA-Z][\w-]*|\*)
   | \#(?P<id>[\w-]+)
   | \.(?P<cls>[\w-]+)
-  | \[(?P<attr>[\w-]+)
+  | \[(?:(?P<ans>[\w-]+|\*)\|(?!=))?(?P<attr>[\w-]+)
         (?:(?P<op>[~^$*|]?=)
            (?: (?P<q>['"])(?P<qval>.*?)(?P=q)   # quoted: spaces allowed
              | (?P<val>[^\]'"\s]*)              # bare: up to bracket/flag
@@ -107,10 +114,18 @@ def _nth_matches(a: int, b: int, idx: int) -> bool:
 @dataclass
 class Simple:
     tag: str | None = None
+    # namespace constraint on the type selector: None = no constraint
+    # (plain ``tag``), '' = ``|tag`` (no namespace), '*' = ``*|tag``
+    # (any), else the selector PREFIX (resolved against the namespaces
+    # dict at match time — reference semantics: Tag.namespaces defaults
+    # come from the document, so resolution can't happen at parse time)
+    tag_ns: str | None = None
     ids: list[str] = field(default_factory=list)
     classes: list[str] = field(default_factory=list)
-    # (name, op, value, flag) — flag 'i' = case-insensitive value match
-    attrs: list[tuple[str, str | None, str | None, str | None]] = field(
+    # (name, op, value, flag, ns) — flag 'i' = case-insensitive value
+    # match; ns as in tag_ns but '' is not produced (``[|attr]`` ≡
+    # ``[attr]``: unprefixed attributes never inherit a default xmlns)
+    attrs: list[tuple[str, str | None, str | None, str | None, str | None]] = field(
         default_factory=list
     )
     nth_of_type: int | None = None
@@ -150,6 +165,7 @@ def _parse_compound(text: str) -> Simple:
             raise ValueError(f"unsupported selector fragment: {text[pos:]!r}")
         if m.group("tag"):
             simple.tag = None if m.group("tag") == "*" else m.group("tag").lower()
+            simple.tag_ns = m.group("tns")  # None unless 'ns|'/'|'/'*|'
         elif m.group("id"):
             simple.ids.append(m.group("id"))
         elif m.group("cls"):
@@ -157,7 +173,9 @@ def _parse_compound(text: str) -> Simple:
         elif m.group("attr"):
             val = m.group("qval") if m.group("q") else m.group("val")
             flag = (m.group("flag") or "").lower() or None
-            simple.attrs.append((m.group("attr"), m.group("op"), val, flag))
+            simple.attrs.append(
+                (m.group("attr"), m.group("op"), val, flag, m.group("ans"))
+            )
         elif m.group("nthlot"):
             simple.nth_last_of_type = _parse_nth(m.group("nthlot"))
         elif m.group("nth"):
@@ -270,44 +288,113 @@ def parse_selector(selector: str) -> list[list[tuple[str, Simple]]]:
     return groups
 
 
+# the xml prefix is implicitly bound in every document (XML namespaces
+# spec §3 — public W3C REC); the reference seeds the same binding via
+# XMLTreeBuilderForLxml.DEFAULT_NSMAPS (_lxml/xml_builder.py:39)
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def doc_namespaces(nodes: list[dict]) -> dict[str, str]:
+    """Prefix→URI map the document declares, reference semantics
+    (_lxml/xml_builder.py:57-79 via Tag.namespaces): every ``xmlns:p``
+    encountered anywhere is tracked, FIRST declaration of a prefix
+    wins, un-prefixed (default) xmlns is NOT tracked. This is the
+    default namespaces dict for ``select()`` when the caller passes
+    none, exactly like ``soup.css.select``."""
+    out = {"xml": XML_NS}
+    for n in nodes:
+        if n["kind"] != "tag" or not n["attrs"]:
+            continue
+        for k, v in n["attrs"].items():
+            if k.startswith("xmlns:"):
+                out.setdefault(k[6:], v)
+    return out
+
+
+def _attr_candidates(node: dict, name: str, ns: str | None, idx) -> list[str]:
+    """Values of the attributes that ``[ns|name]`` can refer to on this
+    node. Unprefixed selectors bind the literal key (attributes never
+    inherit a default namespace); ``*|`` matches any prefix's local
+    name; a prefix resolves through the selector namespaces dict AND
+    the node's in-scope xmlns declarations."""
+    attrs = node["attrs"] or {}
+    if ns is None:
+        return [attrs[name]] if name in attrs else []
+    if ns == "*":
+        return [
+            v
+            for k, v in attrs.items()
+            if k == name or (":" in k and k.rpartition(":")[2] == name)
+        ]
+    want_uri = idx.sel_ns.get(ns)
+    if want_uri is None:
+        return []
+    scope = idx.attr_scope(node)
+    out = []
+    for k, v in attrs.items():
+        if ":" not in k:
+            continue
+        pfx, _, local = k.partition(":")
+        if local == name and scope.get(pfx) == want_uri:
+            out.append(v)
+    return out
+
+
 def _attr_match(
     node: dict,
     name: str,
     op: str | None,
     want: str | None,
     flag: str | None = None,
+    ns: str | None = None,
+    idx=None,
 ) -> bool:
-    attrs = node["attrs"] or {}
-    if name not in attrs:
+    candidates = _attr_candidates(node, name, ns, idx)
+    if not candidates:
         return False
-    raw = attrs[name]
     if op is None or want is None:
         return True
-    if flag == "i":  # [attr=v i]: ASCII-case-insensitive value match
-        raw, want = raw.lower(), want.lower()
-    if op == "=":
-        # multi-valued attributes compare against the space-joined list
-        if is_cdata_list_attr(node["name"], name):
-            return " ".join(split_cdata_list(raw)) == want
-        return raw == want
-    if op == "~=":
-        return want in raw.split()
-    if op == "^=":
-        return bool(want) and raw.startswith(want)
-    if op == "$=":
-        return bool(want) and raw.endswith(want)
-    if op == "*=":
-        return bool(want) and want in raw
-    if op == "|=":
-        return raw == want or raw.startswith(want + "-")
+    for raw in candidates:
+        w = want
+        if flag == "i":  # [attr=v i]: ASCII-case-insensitive value match
+            raw, w = raw.lower(), w.lower()
+        if op == "=":
+            # multi-valued attributes compare against the space-joined list
+            if is_cdata_list_attr(node["name"], name):
+                if " ".join(split_cdata_list(raw)) == w:
+                    return True
+                continue
+            if raw == w:
+                return True
+        elif op == "~=":
+            if w in raw.split():
+                return True
+        elif op == "^=":
+            if w and raw.startswith(w):
+                return True
+        elif op == "$=":
+            if w and raw.endswith(w):
+                return True
+        elif op == "*=":
+            if w and w in raw:
+                return True
+        elif op == "|=":
+            if raw == w or raw.startswith(w + "-"):
+                return True
     return False
 
 
 class _DocIndex:
     """Per-document lookup structures for combinator evaluation."""
 
-    def __init__(self, nodes: list[dict]):
+    def __init__(self, nodes: list[dict], sel_ns: dict[str, str] | None = None):
         self.nodes = nodes
+        # selector-level prefix→URI bindings (the namespaces= argument,
+        # or doc_namespaces() when the caller passed none)
+        self.sel_ns: dict[str, str] = (
+            sel_ns if sel_ns is not None else doc_namespaces(nodes)
+        )
+        self._ns_built = False
         # (parent_pos, name) → ordered positions, for nth-of-type
         self.type_order: dict[tuple[int, str], list[int]] = {}
         # parent_pos → ordered tag children positions, for +/~
@@ -319,6 +406,47 @@ class _DocIndex:
                 n["pos"]
             )
             self.tag_children.setdefault(n["parent_pos"], []).append(n["pos"])
+
+    def _ensure_ns(self) -> None:
+        """One forward pass (document order ⇒ a parent's scope is built
+        before its children) resolving the in-scope xmlns bindings and
+        each element's namespace URI. Lazy: documents selected without
+        namespace selectors never pay for this."""
+        if self._ns_built:
+            return
+        base = {"xml": XML_NS}
+        scopes: dict[int, dict] = {-1: base}
+        uris: dict[int, str | None] = {}
+        for n in self.nodes:
+            if n["kind"] != "tag":
+                continue
+            scope = scopes.get(n["parent_pos"], base)
+            attrs = n["attrs"] or {}
+            decls = {
+                k: v
+                for k, v in attrs.items()
+                if k == "xmlns" or k.startswith("xmlns:")
+            }
+            if decls:
+                scope = dict(scope)
+                for k, v in decls.items():
+                    scope["" if k == "xmlns" else k[6:]] = v
+            scopes[n["pos"]] = scope
+            name = n["name"]
+            if ":" in name:
+                uris[n["pos"]] = scope.get(name.partition(":")[0])
+            else:
+                uris[n["pos"]] = scope.get("")
+        self._scopes, self._uris = scopes, uris
+        self._ns_built = True
+
+    def element_uri(self, node: dict) -> str | None:
+        self._ensure_ns()
+        return self._uris.get(node["pos"])
+
+    def attr_scope(self, node: dict) -> dict:
+        self._ensure_ns()
+        return self._scopes.get(node["pos"], {"xml": XML_NS})
 
     def nth_of_type(self, node: dict) -> int:
         return self.type_order[(node["parent_pos"], node["name"])].index(
@@ -352,11 +480,46 @@ class _DocIndex:
             yield self.nodes[p]
 
 
+def _elem_ns_ok(node: dict, tag_ns: str, idx: _DocIndex) -> bool:
+    """Does the element satisfy an explicit namespace constraint?
+    '*' = any, '' = no namespace (``|tag``), else a selector prefix
+    resolved through the namespaces dict (unknown prefix matches
+    nothing — soupsieve behavior)."""
+    if tag_ns == "*":
+        return True
+    uri = idx.element_uri(node)
+    if tag_ns == "":
+        return uri is None
+    want = idx.sel_ns.get(tag_ns)
+    return want is not None and uri == want
+
+
 def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
     if node["kind"] != "tag":
         return False
-    if simple.tag is not None and node["name"] != simple.tag:
+    if simple.tag_ns is not None and not _elem_ns_ok(node, simple.tag_ns, idx):
         return False
+    if simple.tag is not None:
+        name = node["name"]
+        if simple.tag_ns is not None:
+            # explicit ns part: the tag matches the LOCAL name
+            if name.rpartition(":")[2] != simple.tag:
+                return False
+        elif idx.sel_ns.get("") is not None:
+            # a default namespace was supplied: an unprefixed type
+            # selector must match local name IN that namespace
+            if (
+                name.rpartition(":")[2] != simple.tag
+                or idx.element_uri(node) != idx.sel_ns[""]
+            ):
+                return False
+        elif name != simple.tag and not (
+            ":" in name and name.rpartition(":")[2] == simple.tag
+        ):
+            # no ns context: qualified-name match (HTML path, unchanged)
+            # plus namespace-agnostic local-name match for prefixed
+            # elements (soupsieve's XML behavior without a default ns)
+            return False
     attrs = node["attrs"] or {}
     for i in simple.ids:
         if attrs.get("id") != i:
@@ -365,8 +528,8 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
         have = split_cdata_list(attrs.get("class", ""))
         if not all(c in have for c in simple.classes):
             return False
-    for name, op, want, flag in simple.attrs:
-        if not _attr_match(node, name, op, want, flag):
+    for name, op, want, flag, ns in simple.attrs:
+        if not _attr_match(node, name, op, want, flag, ns, idx):
             return False
     if simple.nth_of_type is not None and idx.nth_of_type(node) != simple.nth_of_type:
         return False
@@ -513,10 +676,14 @@ def select(
     selector: str,
     root_pos: int | None = None,
     limit: int | None = None,
+    namespaces: dict[str, str] | None = None,
 ) -> list[dict]:
-    """CSS select over one document's node list, in document order."""
+    """CSS select over one document's node list, in document order.
+    ``namespaces`` maps selector prefixes to URIs (reference
+    ``Tag.css.select`` surface); when omitted the document's own
+    ``xmlns:p`` declarations are used, exactly like the reference."""
     groups = parse_selector(selector)
-    idx = _DocIndex(nodes)
+    idx = _DocIndex(nodes, sel_ns=namespaces)
     if root_pos is None:
         lo, hi = -1, len(nodes) - 1
     else:
@@ -531,24 +698,36 @@ def select(
     return out
 
 
-def select_one(nodes: list[dict], selector: str) -> dict | None:
-    hits = select(nodes, selector, limit=1)
+def select_one(
+    nodes: list[dict], selector: str, namespaces: dict[str, str] | None = None
+) -> dict | None:
+    hits = select(nodes, selector, limit=1, namespaces=namespaces)
     return hits[0] if hits else None
 
 
-def match(nodes: list[dict], pos: int, selector: str) -> bool:
+def match(
+    nodes: list[dict],
+    pos: int,
+    selector: str,
+    namespaces: dict[str, str] | None = None,
+) -> bool:
     """``CSS.match`` (reference css.py:243-272): does this node match?"""
     groups = parse_selector(selector)
-    idx = _DocIndex(nodes)
+    idx = _DocIndex(nodes, sel_ns=namespaces)
     node = nodes[pos]
     return any(_matches_chain(node, chain, idx) for chain in groups)
 
 
-def closest(nodes: list[dict], pos: int, selector: str) -> dict | None:
+def closest(
+    nodes: list[dict],
+    pos: int,
+    selector: str,
+    namespaces: dict[str, str] | None = None,
+) -> dict | None:
     """``CSS.closest`` (css.py:211-241): nearest self-or-ancestor
     matching the selector."""
     groups = parse_selector(selector)
-    idx = _DocIndex(nodes)
+    idx = _DocIndex(nodes, sel_ns=namespaces)
     p = pos
     while p >= 0:
         node = nodes[p]
@@ -560,10 +739,15 @@ def closest(nodes: list[dict], pos: int, selector: str) -> dict | None:
     return None
 
 
-def filter_children(nodes: list[dict], pos: int, selector: str) -> list[dict]:
+def filter_children(
+    nodes: list[dict],
+    pos: int,
+    selector: str,
+    namespaces: dict[str, str] | None = None,
+) -> list[dict]:
     """``CSS.filter`` (css.py:274-305): direct children matching."""
     groups = parse_selector(selector)
-    idx = _DocIndex(nodes)
+    idx = _DocIndex(nodes, sel_ns=namespaces)
     return [
         n
         for n in nodes[pos + 1 : nodes[pos]["subtree_end"] + 1]
@@ -573,10 +757,15 @@ def filter_children(nodes: list[dict], pos: int, selector: str) -> list[dict]:
     ]
 
 
-def iselect(nodes: list[dict], selector: str, root_pos: int | None = None):
+def iselect(
+    nodes: list[dict],
+    selector: str,
+    root_pos: int | None = None,
+    namespaces: dict[str, str] | None = None,
+):
     """``CSS.iselect``: generator variant of select."""
     groups = parse_selector(selector)
-    idx = _DocIndex(nodes)
+    idx = _DocIndex(nodes, sel_ns=namespaces)
     if root_pos is None:
         lo, hi = -1, len(nodes) - 1
     else:
@@ -589,14 +778,18 @@ def iselect(nodes: list[dict], selector: str, root_pos: int | None = None):
 class CompiledSelector:
     """Pre-parsed selector (reference ``CSS.compile`` → chinois's
     compiled object, css.py:93-101): reuse across documents skips
-    re-tokenization."""
+    re-tokenization. ``namespaces`` given here is compiled in, like
+    chinois — it cannot be replaced per select() call (reference
+    css.py:60-67 ``_ns``); when omitted each document's own xmlns
+    declarations bind the prefixes."""
 
-    def __init__(self, selector: str):
+    def __init__(self, selector: str, namespaces: dict[str, str] | None = None):
         self.pattern = selector
+        self.namespaces = namespaces
         self.groups = parse_selector(selector)
 
     def select(self, nodes, root_pos=None, limit=None):
-        idx = _DocIndex(nodes)
+        idx = _DocIndex(nodes, sel_ns=self.namespaces)
         if root_pos is None:
             lo, hi = -1, len(nodes) - 1
         else:
@@ -610,9 +803,11 @@ class CompiledSelector:
         return out
 
 
-def compile_selector(selector: str) -> CompiledSelector:
+def compile_selector(
+    selector: str, namespaces: dict[str, str] | None = None
+) -> CompiledSelector:
     """``CSS.compile`` analogue."""
-    return CompiledSelector(selector)
+    return CompiledSelector(selector, namespaces=namespaces)
 
 
 def escape_ident(ident: str) -> str:
@@ -639,7 +834,13 @@ def escape_ident(ident: str) -> str:
     return "".join(out)
 
 
-def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "html"):
+def select_stage(
+    pages,
+    selector: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    namespaces: dict[str, str] | None = None,
+):
     """DataFrame stage: (url, html) rows → matched node rows per
     document (document-order), one Arrow parse+select pass."""
     import pandas as pd
@@ -650,7 +851,7 @@ def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "ht
 
     def run(batches):
         # parse the selector ONCE per task, not once per document
-        compiled = CompiledSelector(selector)
+        compiled = CompiledSelector(selector, namespaces=namespaces)
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in _FIELDS}
             for url, html in zip(pdf[url_col], pdf[html_col]):
@@ -661,7 +862,11 @@ def select_stage(pages, selector: str, url_col: str = "url", html_col: str = "ht
                     out["url"].append(url)
                     for k in _FIELDS[1:]:
                         out[k].append(hit[k])
-            yield pd.DataFrame(out)
+            # a zero-hit batch must not be yielded: an EMPTY pandas
+            # object column can't convert to Arrow map<string,string>
+            # (NumPyConverter), and yielding nothing is valid here
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     src = spread(pages.select(url_col, html_col))
     return src.mapInPandas(run, schema=NODES_SCHEMA)

@@ -60,7 +60,11 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["url"].append(url)
                 for k in _FIELDS[1:]:
                     out[k].append(node[k])
-        yield pd.DataFrame(out)
+        # an all-null-input batch must not yield an empty frame: an
+        # EMPTY pandas object column can't convert to Arrow
+        # map<string,string> (NumPyConverter limitation)
+        if out["url"]:
+            yield pd.DataFrame(out)
 
 
 def explode_nodes(pages: DataFrame, url_col: str = "url", html_col: str = "text") -> DataFrame:

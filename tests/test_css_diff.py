@@ -54,7 +54,8 @@ def _n_simple(nodes, node, s):
         have = (attrs.get("class") or "").split()
         if not all(c in have for c in s.classes):
             return False
-    for name, op, want, flag in s.attrs:
+    for name, op, want, flag, _ns in s.attrs:  # _ns always None here:
+        # the generator's selector alphabet has no namespace tokens
         if name not in attrs:
             return False
         raw = attrs[name]
