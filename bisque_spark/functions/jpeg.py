@@ -1,0 +1,520 @@
+"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 / JFIF, public
+spec; tables from Annex K). Makes the lossy half of the multimodal
+decode invariant REAL instead of vacuous (VERDICT r3 Next-round #5):
+the sandbox ships no image libraries, so the engine carries its own
+baseline sequential DCT+Huffman codec.
+
+Scope — deliberately the baseline profile only:
+- encode: 8-bit RGB (or grayscale), 4:4:4 (no chroma subsampling —
+  maximizes PSNR and keeps MCU = one block per component), standard
+  quantization tables scaled by the IJG quality formula, standard
+  Huffman tables, JFIF APP0.
+- decode: baseline sequential (SOF0), 8-bit, 1x1 sampling factors,
+  no restart intervals. Progressive (SOF2), subsampled, arithmetic,
+  or 12-bit streams raise NotImplementedError — callers route that
+  to an error column (multimodal.py contract).
+
+The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
+FDCT definition), fully vectorized over blocks with einsum; only the
+entropy coding loops per block, which is bounded by image size.
+
+No reference analogue (bisque never decodes images) — this implements
+the BASELINE.json input_hint's "decoded pixels allclose (PSNR >= 40 dB
+for lossy formats)" invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---- constants (ITU-T T.81 Annex K — public spec tables) --------------------
+
+def _zigzag() -> np.ndarray:
+    """Row-major index of each coefficient in zigzag order."""
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
+    )
+    return np.array([r * 8 + c for r, c in order])
+
+
+_ZZ = _zigzag()
+_UNZZ = np.argsort(_ZZ)
+
+# Annex K.1/K.2 quantization tables (luminance, chrominance)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 Huffman table specifications: (bits per code length 1..16,
+# symbol values). DC symbols are magnitude categories 0..11; AC symbols
+# are (run << 4) | size with 0x00=EOB and 0xF0=ZRL.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT matrix: D @ block @ D.T == T.81 FDCT
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0) * (
+            np.sqrt(1 / 8) if _k == 0 else 0.5
+        )
+
+
+def _canonical_codes(bits, vals):
+    """(bits, huffval) → {symbol: (code, length)} (T.81 C.2)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    """(bits, huffval) → {(length, code): symbol}."""
+    enc = _canonical_codes(bits, vals)
+    return {(length, code): sym for sym, (code, length) in enc.items()}
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg formula)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """H×W plane → (n_blocks, 8, 8) with edge-replicate padding."""
+    h, w = chan.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = chan.shape
+    blocks = (
+        chan.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    return blocks, hh // 8, ww // 8
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """v → (category, value-bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_block(bw, coefs, dc_codes, ac_codes, prev_dc):
+    """Huffman-encode one quantized zigzag block; returns its DC."""
+    dc = int(coefs[0])
+    s, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    bw.write(bits, s)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(coefs[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    if gray:
+        planes = [px]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    if not gray:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+
+    # vectorized FDCT + quantization per plane
+    quantized = []
+    for ci, plane in enumerate(planes):
+        qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        blocks, _, _ = _blockify(plane - 128.0)
+        coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
+        q = np.round(coefs / qt).astype(np.int32)
+        quantized.append(q.reshape(-1, 64)[:, _ZZ])
+
+    dc_tabs = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_tabs = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_tabs.append(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    bw = _BitWriter()
+    prev = [0] * len(planes)
+    n_blocks = quantized[0].shape[0]
+    for bi in range(n_blocks):  # MCU = one block per component (4:4:4)
+        for ci in range(len(planes)):
+            t = min(ci, 1)
+            prev[ci] = _encode_block(
+                bw, quantized[ci][bi], dc_tabs[t], ac_tabs[t], prev[ci]
+            )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qts):
+        out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling, qt id
+    out += _seg(0xC0, sof)
+    specs = [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if not gray:
+        specs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in specs:
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.1.3.2: value bits → signed coefficient."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → H×W×3 uint8 RGB (grayscale replicated).
+    Raises NotImplementedError for non-baseline profiles."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    scan = None
+    entropy = None
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
+            continue
+        ln = int.from_bytes(data[i : i + 2], "big")
+        seg = data[i + 2 : i + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tq] = tab.astype(np.int32)[_UNZZ].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline frame SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[0:2], "big") != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            # entropy-coded data: everything up to the next real marker
+            j = i + ln
+            body = bytearray()
+            while j < len(data) - 1:
+                b = data[j]
+                if b == 0xFF:
+                    nxt = data[j + 1]
+                    if nxt == 0x00:  # stuffed
+                        body.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn inside scan
+                        raise NotImplementedError("restart intervals")
+                    break  # real marker (EOI) ends the scan
+                body.append(b)
+                j += 1
+            entropy = bytes(body)
+            i = j
+            continue
+        i += ln
+    if frame is None or scan is None or entropy is None:
+        raise ValueError("missing SOF/SOS/entropy data")
+
+    fh, fw, comps = frame
+    bh, bw_ = -(-fh // 8), -(-fw // 8)
+    n_mcu = bh * bw_
+    br = _BitReader(entropy)
+    comp_by_id = dict(comps)
+    coefs = {cid: np.zeros((n_mcu, 64), dtype=np.int32) for cid, _, _ in scan}
+    prev = {cid: 0 for cid, _, _ in scan}
+    for m in range(n_mcu):
+        for cid, td, ta in scan:
+            block = coefs[cid][m]
+            s = br.decode(dc_tabs[td])
+            diff = _extend(br.bits(s), s)
+            prev[cid] += diff
+            block[0] = prev[cid]
+            k = 1
+            while k < 64:
+                rs = br.decode(ac_tabs[ta])
+                if rs == 0x00:  # EOB
+                    break
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                block[k] = _extend(br.bits(size), size)
+                k += 1
+
+    planes = []
+    for cid, _td, _ta in scan:
+        q = qt[comp_by_id[cid]].astype(np.float64)
+        zz = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
+        deq = zz * q
+        blocks = np.einsum("ji,bjk,kl->bil", _D, deq, _D)  # D.T @ B @ D
+        plane = (
+            blocks.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(plane[:fh, :fw] + 128.0)
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))

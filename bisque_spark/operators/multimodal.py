@@ -5,7 +5,8 @@ Images/audio/video are opaque ``binary`` columns + typed metadata
 resize / feature-extract run as Arrow-batched pandas UDFs over
 ``mapInPandas``; the Spark plumbing (schemas, batch shape,
 partitioning) is real and tested, while codec support is limited to
-the sandbox's lossless formats ('raw', 'png' via the pure-stdlib
+the sandbox's formats ('raw', 'jpeg' via the pure-numpy baseline
+codec in functions/jpeg.py, 'png' via the pure-stdlib
 codec in synth.py). Other codecs raise NotImplementedError per row →
 captured in the ``error`` column, never a task failure (same row-level
 error containment as the fetch/extract stages).

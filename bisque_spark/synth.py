@@ -16,7 +16,7 @@ World properties (FIXTURES.md §3, SURVEY.md §7.1 step 2):
 - Encodings mixture: utf-8 (+meta), utf-8 BOM, declared windows-1252,
   undeclared windows-1252 with smart-quote bytes (invalid utf-8 → the
   dammit fallback chain is exercised deterministically).
-- Image bytes: deterministic RGB grids; fmt 'raw' (uncompressed) or
+- Image bytes: deterministic RGB grids; fmt 'raw' (uncompressed),
   'png' (zlib, pure-stdlib encoder) — losslessly decodable for the
   PSNR gate. phash = xxhash64 of the raw pixel buffer.
 """
@@ -149,8 +149,23 @@ def synth_image(image_id: str) -> dict:
     w = rng.randint(8, 64)
     h = rng.randint(8, 64)
     pixels = image_pixels(image_id, w, h)
-    fmt = "raw" if rng.u01() < 0.5 else "png"
-    data = pixels if fmt == "raw" else encode_png(pixels, w, h)
+    u = rng.u01()
+    fmt = "raw" if u < 0.35 else ("png" if u < 0.7 else "jpeg")
+    if fmt == "raw":
+        data = pixels
+    elif fmt == "png":
+        data = encode_png(pixels, w, h)
+    else:
+        # REAL lossy rows (VERDICT r3 #5): baseline JPEG at quality 98
+        # — measured ~43.5 dB on this pixel class, clearing the
+        # input_hint's PSNR >= 40 dB invariant with margin while
+        # remaining genuinely lossy
+        import numpy as np
+
+        from bisque_spark.functions.jpeg import encode_jpeg
+
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+        data = encode_jpeg(arr, quality=98)
     return {
         "bytes": data,
         "w": w,
@@ -161,11 +176,17 @@ def synth_image(image_id: str) -> dict:
 
 
 def decode_image(row_bytes: bytes, fmt: str) -> bytes:
-    """→ raw RGB pixel buffer (for the PSNR/phash gate)."""
+    """→ raw RGB pixel buffer (for the PSNR/phash gate). Lossless
+    formats return the exact pixels; 'jpeg' returns the codec's
+    decoded pixels (lossy — compare with PSNR, not equality)."""
     if fmt == "raw":
         return row_bytes
     if fmt == "png":
         return decode_png(row_bytes)[0]
+    if fmt == "jpeg":
+        from bisque_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(row_bytes)).tobytes()
     raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
 
 

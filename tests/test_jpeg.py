@@ -1,0 +1,120 @@
+"""Baseline JPEG codec (functions/jpeg.py) + the lossy-decode PSNR
+invariant (BASELINE.json input_hint: decoded pixels allclose, PSNR
+>= 40 dB for lossy formats — VERDICT r3 Next-round #5)."""
+
+import numpy as np
+import pytest
+
+from bisque_spark.functions.jpeg import decode_jpeg, encode_jpeg, psnr
+from bisque_spark.synth import decode_image, image_pixels, synth_image
+
+
+def _gradient(h, w, seed=3):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], axis=-1
+    )
+    return np.clip(img + rng.randn(h, w, 3) * 8, 0, 255).astype(np.uint8)
+
+
+def test_roundtrip_shapes_and_determinism():
+    img = _gradient(37, 53)  # non-multiples of 8
+    data = encode_jpeg(img, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert encode_jpeg(img, quality=95) == data  # deterministic
+
+
+def test_quality_monotone_psnr():
+    img = _gradient(40, 40)
+    vals = [psnr(img, decode_jpeg(encode_jpeg(img, q))) for q in (50, 75, 90, 98)]
+    assert vals == sorted(vals)  # higher quality → higher fidelity
+    assert vals[-1] >= 40.0
+
+
+def test_grayscale_single_component():
+    g = np.tile((np.arange(24, dtype=np.uint8) * 10), (24, 1))
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (24, 24, 3)
+    assert psnr(np.repeat(g[..., None], 3, axis=2), dec) >= 40.0
+
+
+def test_psnr_invariant_on_synth_pixel_class():
+    """The exact invariant the input_hint names, over the pixel class
+    the synthetic world materializes (pseudo-random bytes — JPEG's
+    worst case, so this is the invariant's hard floor, not a smooth
+    best case)."""
+    for iid in ("inv-a", "inv-b", "inv-c"):
+        px = np.frombuffer(image_pixels(iid, 24, 24), dtype=np.uint8).reshape(
+            24, 24, 3
+        )
+        dec = decode_jpeg(encode_jpeg(px, quality=98))
+        assert psnr(px, dec) >= 40.0
+
+
+def test_synth_world_plants_real_jpeg_rows():
+    """synth_image emits fmt='jpeg' rows whose bytes are a decodable
+    baseline JPEG meeting the PSNR gate vs the pre-encode pixels."""
+    found = 0
+    for i in range(40):
+        meta = synth_image(f"jpeg-hunt-{i}")
+        if meta["fmt"] != "jpeg":
+            continue
+        found += 1
+        pixels = np.frombuffer(
+            image_pixels(f"jpeg-hunt-{i}", meta["w"], meta["h"]), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        dec = np.frombuffer(
+            decode_image(meta["bytes"], "jpeg"), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        assert psnr(pixels, dec) >= 40.0
+    assert found >= 5  # the format mix really produces jpeg rows
+
+
+def test_non_baseline_raises_not_implemented():
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, quality=90))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_stream_raises_value_error():
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_image_features_decodes_jpeg_rows(spark):
+    """The multimodal stage decodes jpeg rows (no error column) and the
+    channel means match the codec's own decode exactly."""
+    from bisque_spark.operators.multimodal import image_features
+
+    rows = []
+    expected = {}
+    for i in range(12):
+        iid = f"jf-{i}"
+        meta = synth_image(iid)
+        rows.append(
+            (iid, bytearray(meta["bytes"]), meta["w"], meta["h"], meta["fmt"])
+        )
+        arr = np.frombuffer(
+            decode_image(meta["bytes"], meta["fmt"]), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        expected[iid] = tuple(float(arr[..., c].mean()) for c in range(3))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in image_features(df).collect()}
+    fmts = {r[4] for r in rows}
+    assert "jpeg" in fmts  # the sample really exercises the lossy path
+    for iid, (mr, mg, mb) in expected.items():
+        r = got[iid]
+        assert r["error"] is None
+        assert abs(r["mean_r"] - mr) < 1e-9
+        assert abs(r["mean_g"] - mg) < 1e-9
+        assert abs(r["mean_b"] - mb) < 1e-9

@@ -49,11 +49,11 @@ def test_thumbnails(spark, images):
 
 def test_unknown_codec_contained(spark):
     df = spark.createDataFrame(
-        [("x", b"\x00\x01", 2, 2, "jpeg")],
+        [("x", b"\x00\x01", 2, 2, "webp")],
         "image_id string, bytes binary, w int, h int, fmt string",
     )
     r = image_features(df).first()
-    assert r["error"] == "codec_unavailable:jpeg"
+    assert r["error"] == "codec_unavailable:webp"
     assert r["mean_r"] is None
 
 
@@ -132,7 +132,7 @@ def test_ppm_bmp_roundtrip_and_features(spark):
         ("i-ppm", encode_ppm(pix), 7, 5, "ppm"),
         ("i-bmp", encode_bmp(pix), 7, 5, "bmp"),
         ("i-bad", b"garbage", 7, 5, "bmp"),
-        ("i-jpg", b"\xff\xd8\xff", 7, 5, "jpeg"),
+        ("i-jpg", b"\xff\xd8\xff", 7, 5, "jpeg"),  # truncated JPEG
     ]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string"
@@ -144,7 +144,9 @@ def test_ppm_bmp_roundtrip_and_features(spark):
         for i, c in enumerate("rgb"):
             assert abs(got[img][f"mean_{c}"] - want[c]) < 1e-9
     assert got["i-bad"]["error"].startswith("decode_error")
-    assert got["i-jpg"]["error"] == "codec_unavailable:jpeg"
+    # jpeg is a REAL decoder now (functions/jpeg.py): truncated
+    # bytes are a decode error, not an unavailable codec
+    assert got["i-jpg"]["error"].startswith("decode_error")
 
 
 def test_wav_roundtrip_and_features(spark):

@@ -49,7 +49,7 @@ class ImageRow(BaseModel):
     @field_validator("fmt")
     @classmethod
     def _fmt(cls, v):
-        if v not in {"raw", "png"}:
+        if v not in {"raw", "png", "jpeg"}:
             raise ValueError("bad fmt")
         return v
 
