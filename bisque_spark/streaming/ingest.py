@@ -296,25 +296,60 @@ def host_throughput_stream(pages: DataFrame, window: str = "1 minute") -> DataFr
     )
 
 
+def _fold_sessions(start, last, n, ts_sorted, gap_s):
+    """Fold a SORTED event array into the open session, numpy
+    diff-and-split (no per-event Python loop — the loop below is over
+    SESSION SEGMENTS, bounded by the number of gaps, not events).
+    Returns (closed_sessions, (start, last, n) open)."""
+    import numpy as np
+
+    closed = []
+    if len(ts_sorted) == 0:
+        return closed, (start, last, n)
+    boundaries = np.flatnonzero(np.diff(ts_sorted) > gap_s) + 1
+    for seg in np.split(ts_sorted, boundaries):
+        if start is not None and float(seg[0]) - last <= gap_s:
+            # max() guards against beyond-lateness stragglers (folded
+            # after newer events): they join the session but must not
+            # shrink its end
+            last = max(last, float(seg[-1]))
+            n += len(seg)
+        else:
+            if start is not None:
+                closed.append((start, last, int(n)))
+            start, last, n = float(seg[0]), float(seg[-1]), len(seg)
+    return closed, (start, last, n)
+
+
 def sessionize_stream(
-    events: DataFrame, gap_s: float = 1800.0
+    events: DataFrame, gap_s: float = 1800.0, late_s: float = 0.0
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization
     with state timeouts (the streaming twin of the batch lag-window
     sessionizer in __spark_entry__._q_events_sessionize).
 
-    State per user = (session_start, last_ts, n_events). An event
-    within ``gap_s`` of last_ts extends the open session; a larger gap
-    CLOSES it (the closed session row is emitted) and opens a new one.
-    A processing-time timeout flushes sessions idle longer than the
-    gap, so sessions end even when a user goes silent — the part a
-    batch window can't express without re-reading everything.
+    State per user = (session_start, last_ts, n_events, pending[],
+    max_ts). An event within ``gap_s`` of last_ts extends the open
+    session; a larger gap CLOSES it (the closed session row is
+    emitted) and opens a new one. A processing-time timeout flushes
+    sessions idle longer than the gap, so sessions end even when a
+    user goes silent — the part a batch window can't express without
+    re-reading everything.
 
-    Input: ``user_id long, ts double`` (event-time seconds), assumed
-    in-order per micro-batch arrival (the synthetic feed's property;
-    out-of-order handling would add a watermark + buffer here).
+    Out-of-order arrival (VERDICT r3 #7): ``late_s`` is the allowed
+    lateness. Events younger than ``max_seen_ts - late_s`` sit in a
+    per-user reorder buffer in state; only events older than that
+    watermark are folded (sorted) into sessions, so any event arriving
+    within ``late_s`` of the stream head lands in the right session
+    even across micro-batch boundaries. ``late_s=0`` (default) folds
+    immediately — correct for feeds that are in-order ACROSS batches
+    (each batch is still sorted before folding). The timeout flush
+    folds the buffer before closing, so no event is ever dropped.
+
+    Input: ``user_id long, ts double`` (event-time seconds).
     Output (append): one row per CLOSED session.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -322,33 +357,51 @@ def sessionize_stream(
 
     def sessionize(key, pdf_iter, state):
         (user_id,) = key
-        closed = []
+        cols = ["user_id", "session_start", "session_end", "n_events"]
         if state.hasTimedOut:
+            closed = []
             if state.exists:
-                start, last, n = state.get
-                closed.append((user_id, start, last, int(n)))
+                start, last, n, pending, _mx = state.get
+                ready = np.sort(np.asarray(pending, dtype=np.float64))
+                folded, (start, last, n) = _fold_sessions(
+                    start, last, n, ready, gap_s
+                )
+                closed.extend(folded)
+                if start is not None:
+                    closed.append((start, last, int(n)))
             state.remove()
             yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events"],
+                [(user_id, s, e, c) for s, e, c in closed], columns=cols
             )
             return
-        start, last, n = state.get if state.exists else (None, None, 0)
+        if state.exists:
+            start, last, n, pending, max_ts = state.get
+            pool = list(pending)
+        else:
+            start, last, n, pool, max_ts = None, None, 0, [], float("-inf")
         for pdf in pdf_iter:
-            for ts in sorted(float(t) for t in pdf["ts"]):
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap_s:
-                    closed.append((user_id, start, last, int(n)))
-                    start, last, n = ts, ts, 1
-                else:
-                    last, n = ts, n + 1
-        if start is not None:
-            state.update((float(start), float(last), int(n)))
+            vals = pdf["ts"].to_numpy(dtype=np.float64)
+            if len(vals):
+                pool.extend(float(v) for v in vals)
+                max_ts = max(max_ts, float(vals.max()))
+        arr = np.asarray(pool, dtype=np.float64)
+        wm = max_ts - late_s
+        ready = np.sort(arr[arr <= wm])
+        hold = arr[arr > wm]
+        closed, (start, last, n) = _fold_sessions(start, last, n, ready, gap_s)
+        if start is not None or len(hold):
+            state.update(
+                (
+                    None if start is None else float(start),
+                    None if last is None else float(last),
+                    int(n),
+                    [float(v) for v in hold],
+                    float(max_ts),
+                )
+            )
             state.setTimeoutDuration(int(gap_s * 1000))
         yield pd.DataFrame(
-            closed,
-            columns=["user_id", "session_start", "session_end", "n_events"],
+            [(user_id, s, e, c) for s, e, c in closed], columns=cols
         )
 
     return keyed.applyInPandasWithState(
@@ -357,7 +410,10 @@ def sessionize_stream(
             "user_id long, session_start double, session_end double, "
             "n_events long"
         ),
-        stateStructType="session_start double, last_ts double, n_events long",
+        stateStructType=(
+            "session_start double, last_ts double, n_events long, "
+            "pending array<double>, max_ts double"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
