@@ -354,7 +354,9 @@ def scaling() -> None:
             f"{fx_hi['urls_per_sec']} urls/s | efficiency {fx_eff} "
             f"(target ≥0.8) |\n"
             f"| full crawl {SCALING_WORLD} x{BENCH_EPOCHS} epochs "
-            f"(session warmed, best-of-2, AQE off, v2 committer) | local[{lo}]: "
+            f"(session warmed, best-of-2, AQE "
+            f"{'on' if os.environ.get('BENCH_AQE') == 'true' else 'off'}, "
+            f"v2 committer) | local[{lo}]: "
             f"{cr_lo['urls_per_sec']} urls/s | local[{hi}]: "
             f"{cr_hi['urls_per_sec']} urls/s | efficiency {cr_eff} "
             f"(target ≥0.8) |\n"
