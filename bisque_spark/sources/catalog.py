@@ -114,18 +114,49 @@ class ParquetCatalog:
 
     # -- operations ----------------------------------------------------------
     def create_table(
-        self, name: str, schema_ddl: str, partition_by: list[str] | None = None
+        self,
+        name: str,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        stats_key: str | None = None,
     ) -> None:
+        """``stats_key``: column whose per-file min/max is recorded in
+        the manifest at every commit (Iceberg per-file column stats) —
+        lets MERGE prune at FILE granularity inside a partition, not
+        just at partition granularity."""
         os.makedirs(self._data(name), exist_ok=True)
         self._write_manifest(
             name,
             {
                 "schema": schema_ddl,
                 "partition_by": partition_by or [],
+                "stats_key": stats_key,
                 "version": 0,
                 "snapshots": {"0": []},
+                "file_stats": {},
             },
         )
+
+    def _record_stats(self, name: str, m: dict, new_files: list[str]) -> None:
+        """Per-file min/max of the stats_key for freshly staged files
+        (one tiny agg job — Iceberg computes stats at write time)."""
+        key = m.get("stats_key")
+        if not key or not new_files:
+            return
+        rows = (
+            self._read_files(name, m["schema"], new_files)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .collect()
+        )
+        data = os.path.realpath(self._data(name))
+        stats = m.setdefault("file_stats", {})
+        for r in rows:
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            rel = os.path.relpath(os.path.realpath(p), data)
+            stats[rel] = [r["lo"], r["hi"]]
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
@@ -186,6 +217,7 @@ class ParquetCatalog:
         with self._commit_lock(name):
             m = self._read_manifest(name)
             new_files = self._stage_files(name, df, m["partition_by"])
+            self._record_stats(name, m, new_files)
             prev = m["snapshots"][str(m["version"])]
             m["version"] += 1
             m["snapshots"][str(m["version"])] = prev + new_files
@@ -202,30 +234,50 @@ class ParquetCatalog:
     def _hit_files(
         self, name: str, m: dict, files: list[str], df: DataFrame
     ) -> list[str]:
-        """Data files whose partition values intersect df's partition
-        values. Matching is delegated to Spark's own partition-path
-        parsing (``input_file_name`` on a basePath read) so Hive-style
-        escaping and null markers never need reimplementing here; the
-        scan touches only footers + directory-derived partition columns.
-        """
+        """Data files a MERGE must rewrite: partition values intersect
+        df's partitions AND (when the table records per-file key stats)
+        the file's [min,max] key range overlaps the incoming keys'
+        range within that partition. Partition matching is delegated to
+        Spark's own partition-path parsing (``input_file_name`` on a
+        basePath read) so Hive-style escaping and null markers never
+        need reimplementing; the scan touches only footers +
+        directory-derived partition columns. Files without recorded
+        stats are conservatively hit (legacy commits)."""
         parts = m["partition_by"]
-        incoming = df.select(*parts).distinct()
+        key = m.get("stats_key")
+        aggs = (
+            [F.min(key).alias("__lo"), F.max(key).alias("__hi")]
+            if key
+            else [F.count(F.lit(1)).alias("__n")]
+        )
+        bounds = {
+            tuple(r[c] for c in parts): (r["__lo"], r["__hi"]) if key else None
+            for r in df.groupBy(*parts).agg(*aggs).collect()
+        }
         per_file = (
             self._read_files(name, m["schema"], files)
             .select(*parts)
             .withColumn("__file", F.input_file_name())
             .distinct()
-            .join(F.broadcast(incoming), on=parts, how="left_semi")
-            .select("__file")
             .collect()
         )
         data = os.path.realpath(self._data(name))
+        stats = m.get("file_stats", {})
         hit = set()
         for r in per_file:
+            pv = tuple(r[c] for c in parts)
+            if pv not in bounds:
+                continue
             p = r["__file"]
             if p.startswith("file:"):
                 p = p[len("file:"):]
-            hit.add(os.path.relpath(os.path.realpath(p), data))
+            rel = os.path.relpath(os.path.realpath(p), data)
+            if key and bounds[pv] is not None and rel in stats:
+                lo, hi = stats[rel]
+                kmin, kmax = bounds[pv]
+                if hi < kmin or lo > kmax:  # disjoint key ranges
+                    continue
+            hit.add(rel)
         return [f for f in files if f in hit]
 
     def merge_by_key(
@@ -236,9 +288,12 @@ class ParquetCatalog:
 
         Copy-on-write at FILE granularity (Iceberg MERGE shape): only
         data files whose partition values intersect the incoming rows'
-        partitions are rewritten; every untouched file is carried into
-        the new snapshot by reference. At 100 TB a merge touching one
-        partition rewrites that partition, not the table.
+        partitions — and, when the table was created with a
+        ``stats_key``, whose per-file [min,max] key range overlaps the
+        incoming keys' range in that partition — are rewritten; every
+        untouched file is carried into the new snapshot by reference.
+        At 100 TB a merge touching one partition rewrites the files of
+        that partition that can contain the keys, not the table.
 
         ``prune=True`` assumes a key's partition values are stable
         across upserts (true whenever the partition columns are a
@@ -268,6 +323,7 @@ class ParquetCatalog:
                     current.join(df.select(key), on=key, how="left_anti")
                 )
             new_files = self._stage_files(name, merged, parts)
+            self._record_stats(name, m, new_files)
             m["version"] += 1
             m["snapshots"][str(m["version"])] = sorted(carried) + new_files
             m["last_merge_ts"] = time.time()
@@ -312,6 +368,10 @@ class ParquetCatalog:
             # then physical deletes — a crash in between leaks files, never
             # corrupts a retained snapshot
             m["snapshots"] = {str(v): m["snapshots"][str(v)] for v in retained}
+            if m.get("file_stats"):
+                m["file_stats"] = {
+                    f: st for f, st in m["file_stats"].items() if f in keep_files
+                }
             self._write_manifest(name, m)
         data = self._data(name)
         for f in drop_files:

@@ -220,3 +220,49 @@ def test_merge_cow_new_partition_and_no_prune(spark, cat):
     )  # v3: full-scan fallback
     rows = {r["image_id"]: r["caption"] for r in cat.read("cow2").collect()}
     assert rows == {"a": "ONE", "b": "two", "z": "nine"}
+
+
+def test_merge_cow_file_level_stats_pruning(spark, cat):
+    """With a stats_key, MERGE prunes at FILE granularity INSIDE a
+    partition (Iceberg per-file column stats): a file whose [min,max]
+    key range is disjoint from the incoming keys is carried by
+    reference even though it lives in a touched partition."""
+    import json
+    import os
+
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("fstats", schema, partition_by=["bucket"],
+                     stats_key="image_id")
+    # two appends → two files in bucket=0 with DISJOINT key ranges
+    cat.append(
+        "fstats",
+        spark.createDataFrame([("a1", 0, "x"), ("a2", 0, "y")], schema)
+        .coalesce(1),
+    )  # v1: file A keys a1..a2
+    cat.append(
+        "fstats",
+        spark.createDataFrame([("m1", 0, "x"), ("m2", 0, "y")], schema)
+        .coalesce(1),
+    )  # v2: file B keys m1..m2
+    m = json.load(open(os.path.join(cat.root, "fstats", "_manifest.json")))
+    assert len(m["snapshots"]["2"]) == 2
+    assert len(m["file_stats"]) == 2  # stats recorded at write time
+
+    cat.merge_by_key(
+        "fstats",
+        spark.createDataFrame([("m1", 0, "X")], schema),
+        key="image_id",
+    )  # v3: touches only file B's key range
+    m = json.load(open(os.path.join(cat.root, "fstats", "_manifest.json")))
+    v2, v3 = set(m["snapshots"]["2"]), set(m["snapshots"]["3"])
+    stats = m["file_stats"]
+    file_a = next(f for f in v2 if stats[f][0] == "a1")
+    file_b = next(f for f in v2 if stats[f][0] == "m1")
+    assert file_a in v3  # disjoint-range file carried BY REFERENCE
+    assert file_b not in v3  # overlapping file rewritten
+    rows = {r["image_id"]: r["caption"] for r in cat.read("fstats").collect()}
+    assert rows == {"a1": "x", "a2": "y", "m1": "X", "m2": "y"}
+    # time travel unaffected
+    old = {r["image_id"]: r["caption"]
+           for r in cat.read("fstats", version=2).collect()}
+    assert old == {"a1": "x", "a2": "y", "m1": "x", "m2": "y"}
