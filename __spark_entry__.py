@@ -337,13 +337,18 @@ def _q_doc_dup_clusters(spark, sf_dir):
 def _q_doc_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation: quality gate (JVM exprs) →
     exact dedup (min-id per md5) → near-dup cluster canonical-keep
-    (MinHash pairs → connected components). Returns the surviving
-    docs with their quality features. Oracle = composition of the
-    individually-verified stages (quality/dedup DuckDB-verified;
-    cluster keep union-find-verified); rows-only here."""
+    (exact 2-gram Jaccard pairs → connected components). Returns the
+    surviving docs with their quality features.
+
+    The pair stage uses the EXACT n-gram form so the WHOLE pipeline —
+    quality, langid, dedup, pair formation, recursive-CTE clustering,
+    canonical keep — is DuckDB hash-verifiable end to end (r4; was
+    rows-only with MinHash pairs). The LSH near-dup path, the 100-TB
+    pair stage, stays exercised and recall-pinned by
+    minhash_near_dups / doc_dup_clusters / test_dedup.py."""
     from bisque_spark.functions.text import langid_col, quality_cols
     from bisque_spark.operators.cluster import keep_canonical
-    from bisque_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+    from bisque_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs_exact
 
     docs = _load(spark, sf_dir, "documents")
     q = quality_cols("text")
@@ -359,7 +364,9 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     )
     exact_keep = exact_dedup(quality, "doc_id", "text").select("doc_id")
     survivors = quality.join(exact_keep, "doc_id")
-    pairs = minhash_dedup_pairs(survivors, "doc_id", "text", threshold=0.5)
+    pairs = ngram_jaccard_pairs_exact(
+        survivors, "doc_id", "text", n=2, threshold=0.5
+    )
     kept = keep_canonical(survivors, pairs, "doc_id")
     return kept.select("doc_id", "n_tokens", "stopword_ratio", "lang_pred")
 
@@ -1126,7 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_thumbnails into image_features — same code paths, fewer
     slots; their pytest oracles are unchanged."""
     return {
-        # -- 37 oracle-backed (DuckDB row+schema+hash verified) ------------
+        # -- 38 oracle-backed (DuckDB row+schema+hash verified) ------------
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -1164,13 +1171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_status_cube": _q_orders_status_cube,
         "customers_without_orders": _q_customers_without_orders,
         "active_users_both_types": _q_active_users_both_types,
-        # -- 13 rows-only (oracle = reference/numpy via pytest) ------------
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
+        # -- 12 rows-only (oracle = reference/numpy via pytest) ------------
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_dup_clusters": _q_doc_dup_clusters,
-        "doc_curation_pipeline": _q_doc_curation_pipeline,
         "extract_captions": _q_extract_captions,
         "image_features": _q_image_features,
         "image_phash_pairs": _q_image_phash_pairs,
@@ -1268,6 +1275,76 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        # the WHOLE curation pipeline, hash-verified end to end (r4):
+        # quality gate -> langid -> exact dedup (min id per md5) ->
+        # exact 2-gram jaccard pairs -> recursive-CTE connected
+        # components -> canonical keep (min id per cluster)
+        "doc_curation_pipeline": f"""
+            WITH RECURSIVE w AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS words
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, text,
+                   {lang_counts}
+                FROM w
+            ), scored AS (
+                SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_tokens,
+                   round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       w -> lower(w) IN ({stop_list})))
+                       * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) END, 6)
+                       AS stopword_ratio,
+                   {lang_case} AS lang_pred
+                FROM sc
+            ), quality AS (
+                SELECT * FROM scored WHERE n_tokens >= 5 AND lang_pred != 'und'
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+            ), s AS (
+                SELECT q.* FROM quality q JOIN keepers k ON q.doc_id = k.doc_id
+            ), g AS (
+                SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0
+                             OR len(regexp_split_to_array(trim(text), '\\s+')) < 2
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE list_distinct(list_transform(
+                             generate_series(1,
+                                 len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                             i -> array_to_string(
+                                 regexp_split_to_array(trim(text), '\\s+')[i:i+1],
+                                 ' ')))
+                   END AS grams
+                FROM s
+            ), fwd AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                  AND len(list_intersect(a.grams, b.grams)) * 1.0
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ), edges AS (
+                SELECT src, dst FROM fwd
+                UNION ALL
+                SELECT dst, src FROM fwd
+            ), verts AS (
+                SELECT DISTINCT src AS id FROM edges
+            ), reach(id, lbl) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.id
+            ), comps AS (
+                SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT doc_id, n_tokens, stopword_ratio, lang_pred
+            FROM s
+            WHERE doc_id NOT IN (
+                SELECT id FROM comps WHERE id != cluster_id
+            )
         """,
         "doc_token_stats": f"""
             SELECT doc_id,
