@@ -306,7 +306,9 @@ class ParquetCatalog:
             m = self._read_manifest(name)
             prev = m["snapshots"][str(m["version"])]
             parts = m["partition_by"]
-            if prune and parts and prev:
+            # pruning works with partition values, per-file key stats,
+            # or both (an unpartitioned table with stats still prunes)
+            if prune and prev and (parts or m.get("stats_key")):
                 hit = self._hit_files(name, m, prev, df)
                 carried = [f for f in prev if f not in set(hit)]
                 if hit:

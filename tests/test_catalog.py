@@ -266,3 +266,27 @@ def test_merge_cow_file_level_stats_pruning(spark, cat):
     old = {r["image_id"]: r["caption"]
            for r in cat.read("fstats", version=2).collect()}
     assert old == {"a1": "x", "a2": "y", "m1": "x", "m2": "y"}
+
+
+def test_merge_cow_unpartitioned_stats_only(spark, cat):
+    """An UNPARTITIONED table with a stats_key still prunes at file
+    granularity (per-file key ranges alone)."""
+    import json
+    import os
+
+    schema = "image_id string, caption string"
+    cat.create_table("flat", schema, stats_key="image_id")
+    cat.append("flat", spark.createDataFrame(
+        [("a1", "x"), ("a2", "y")], schema).coalesce(1))  # file A
+    cat.append("flat", spark.createDataFrame(
+        [("m1", "x")], schema).coalesce(1))               # file B
+    cat.merge_by_key(
+        "flat", spark.createDataFrame([("m1", "X")], schema), key="image_id"
+    )
+    m = json.load(open(os.path.join(cat.root, "flat", "_manifest.json")))
+    v2, v3 = set(m["snapshots"]["2"]), set(m["snapshots"]["3"])
+    stats = m["file_stats"]
+    file_a = next(f for f in v2 if stats[f][0] == "a1")
+    assert file_a in v3  # carried by reference, no partitions involved
+    rows = {r["image_id"]: r["caption"] for r in cat.read("flat").collect()}
+    assert rows == {"a1": "x", "a2": "y", "m1": "X"}

@@ -12,7 +12,7 @@ bounds, scope anchoring for :has(), :is() recursion.
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from bisque_spark.functions.css import parse_selector, select
+from bisque_spark.functions.css import XML_NS, parse_selector, select
 from bisque_spark.parse import parse_nodes
 
 # ---- naive evaluator ---------------------------------------------------------
@@ -41,12 +41,62 @@ def _nth_ok(ab, idx):
     return rem == 0 and n >= 0
 
 
-def _n_simple(nodes, node, s):
+def _naive_prefix_uri(nodes, node, prefix):
+    """Nearest self-or-ancestor xmlns declaration — an ANCESTOR WALK,
+    deliberately different mechanics from the engine's forward pass."""
+    cur = node
+    while True:
+        attrs = cur["attrs"] or {}
+        k = "xmlns" if prefix == "" else "xmlns:" + prefix
+        if k in attrs:
+            return attrs[k]
+        p = cur["parent_pos"]
+        if p < 0:
+            return XML_NS if prefix == "xml" else None
+        cur = nodes[p]
+
+
+def _naive_elem_uri(nodes, node):
+    name = node["name"]
+    if ":" in name:
+        return _naive_prefix_uri(nodes, node, name.partition(":")[0])
+    return _naive_prefix_uri(nodes, node, "")
+
+
+def _naive_doc_ns(nodes):
+    out = {"xml": XML_NS}
+    for n in nodes:
+        if n["kind"] != "tag" or not n["attrs"]:
+            continue
+        for k, v in n["attrs"].items():
+            if k.startswith("xmlns:"):
+                out.setdefault(k[6:], v)
+    return out
+
+
+def _n_simple(nodes, node, s, ns_map):
     if node["kind"] != "tag":
         return False
     attrs = node["attrs"] or {}
-    if s.tag is not None and node["name"] != s.tag:
-        return False
+    if s.tag_ns is not None:
+        uri = _naive_elem_uri(nodes, node)
+        if s.tag_ns == "*":
+            pass
+        elif s.tag_ns == "":
+            if uri is not None:
+                return False
+        else:
+            want = ns_map.get(s.tag_ns)
+            if want is None or uri != want:
+                return False
+    if s.tag is not None:
+        name = node["name"]
+        local = name.rpartition(":")[2]
+        if s.tag_ns is not None:
+            if local != s.tag:
+                return False
+        elif name != s.tag and not (":" in name and local == s.tag):
+            return False
     for i in s.ids:
         if attrs.get("id") != i:
             return False
@@ -54,14 +104,32 @@ def _n_simple(nodes, node, s):
         have = (attrs.get("class") or "").split()
         if not all(c in have for c in s.classes):
             return False
-    for name, op, want, flag, _ns in s.attrs:  # _ns always None here:
-        # the generator's selector alphabet has no namespace tokens
-        if name not in attrs:
+    for name, op, want, flag, ns_p in s.attrs:
+        if ns_p is None:
+            raws = [attrs[name]] if name in attrs else []
+        elif ns_p == "*":
+            raws = [
+                v for k, v in attrs.items()
+                if k == name or (":" in k and k.rpartition(":")[2] == name)
+            ]
+        else:
+            want_uri = ns_map.get(ns_p)
+            raws = [] if want_uri is None else [
+                v for k, v in attrs.items()
+                if ":" in k
+                and k.rpartition(":")[2] == name
+                and _naive_prefix_uri(nodes, node, k.partition(":")[0])
+                == want_uri
+            ]
+        if not raws:
             return False
-        raw = attrs[name]
         if op is not None and want is not None:
-            r, w = (raw.lower(), want.lower()) if flag == "i" else (raw, want)
-            if op == "=" and r != w:
+            ok = False
+            for raw in raws:
+                r, w = (raw.lower(), want.lower()) if flag == "i" else (raw, want)
+                if op == "=" and r == w:
+                    ok = True
+            if not ok:
                 return False
     sibs = _tag_kids(nodes, node["parent_pos"])
     idx = [n["pos"] for n in sibs].index(node["pos"]) + 1
@@ -88,35 +156,37 @@ def _n_simple(nodes, node, s):
     if s.only_of_type and len(same_type) != 1:
         return False
     for neg in s.negated:
-        if _n_simple(nodes, node, neg):
+        if _n_simple(nodes, node, neg, ns_map):
             return False
     for groups in s.is_groups:
-        if not any(_n_chain(nodes, node, ch) for ch in groups):
+        if not any(_n_chain(nodes, node, ch, ns_map) for ch in groups):
             return False
     for groups in s.has_groups:
-        if not _n_has(nodes, node, groups):
+        if not _n_has(nodes, node, groups, ns_map):
             return False
     return True
 
 
-def _n_chain(nodes, node, chain):
+def _n_chain(nodes, node, chain, ns_map):
     comb, simple = chain[-1]
-    if not _n_simple(nodes, node, simple):
+    if not _n_simple(nodes, node, simple, ns_map):
         return False
     if len(chain) == 1:
         return True
     rest = chain[:-1]
     if comb == " ":
-        return any(_n_chain(nodes, a, rest) for a in _ancestors(nodes, node))
+        return any(
+            _n_chain(nodes, a, rest, ns_map) for a in _ancestors(nodes, node)
+        )
     if comb == ">":
         p = node["parent_pos"]
-        return p >= 0 and _n_chain(nodes, nodes[p], rest)
+        return p >= 0 and _n_chain(nodes, nodes[p], rest, ns_map)
     sibs = _tag_kids(nodes, node["parent_pos"])
     i = [n["pos"] for n in sibs].index(node["pos"])
     if comb == "+":
-        return i > 0 and _n_chain(nodes, sibs[i - 1], rest)
+        return i > 0 and _n_chain(nodes, sibs[i - 1], rest, ns_map)
     if comb == "~":
-        return any(_n_chain(nodes, sib, rest) for sib in sibs[:i])
+        return any(_n_chain(nodes, sib, rest, ns_map) for sib in sibs[:i])
     raise AssertionError(comb)
 
 
@@ -133,32 +203,34 @@ def _n_rel(nodes, d, comb, scope):
     return j == i + 1 if comb == "+" else j > i
 
 
-def _n_chain_scoped(nodes, node, chain, scope):
+def _n_chain_scoped(nodes, node, chain, scope, ns_map):
     comb, simple = chain[-1]
-    if not _n_simple(nodes, node, simple):
+    if not _n_simple(nodes, node, simple, ns_map):
         return False
     if len(chain) == 1:
         return _n_rel(nodes, node, comb, scope)
     rest = chain[:-1]
     if comb == " ":
         return any(
-            _n_chain_scoped(nodes, a, rest, scope)
+            _n_chain_scoped(nodes, a, rest, scope, ns_map)
             for a in _ancestors(nodes, node)
         )
     if comb == ">":
         p = node["parent_pos"]
-        return p >= 0 and _n_chain_scoped(nodes, nodes[p], rest, scope)
+        return p >= 0 and _n_chain_scoped(nodes, nodes[p], rest, scope, ns_map)
     sibs = _tag_kids(nodes, node["parent_pos"])
     i = [n["pos"] for n in sibs].index(node["pos"])
     if comb == "+":
-        return i > 0 and _n_chain_scoped(nodes, sibs[i - 1], rest, scope)
-    return any(_n_chain_scoped(nodes, s, rest, scope) for s in sibs[:i])
+        return i > 0 and _n_chain_scoped(nodes, sibs[i - 1], rest, scope, ns_map)
+    return any(
+        _n_chain_scoped(nodes, s, rest, scope, ns_map) for s in sibs[:i]
+    )
 
 
-def _n_has(nodes, scope, groups):
+def _n_has(nodes, scope, groups, ns_map):
     return any(
         any(
-            _n_chain_scoped(nodes, cand, chain, scope)
+            _n_chain_scoped(nodes, cand, chain, scope, ns_map)
             for cand in nodes
             if cand["kind"] == "tag"
         )
@@ -168,11 +240,12 @@ def _n_has(nodes, scope, groups):
 
 def naive_select(nodes, selector):
     groups = parse_selector(selector)
+    ns_map = _naive_doc_ns(nodes)
     return [
         n["pos"]
         for n in nodes
         if n["kind"] == "tag"
-        and any(_n_chain(nodes, n, ch) for ch in groups)
+        and any(_n_chain(nodes, n, ch, ns_map) for ch in groups)
     ]
 
 
@@ -208,20 +281,35 @@ _PSEUDOS = [
 ]
 
 
+_NS_DECLS = [
+    "",
+    ' xmlns:n1="u:one"',
+    ' xmlns:n2="u:two"',
+    ' xmlns:n1="u:two"',  # prefix re-declaration mid-document
+    ' xmlns="u:def"',     # default namespace
+]
+_NS_PREFIXES = [None, None, None, "n1", "n2"]  # mostly unprefixed
+
+
 @st.composite
 def docs(draw):
     def build(depth):
         tag = draw(st.sampled_from(TAGS))
+        pfx = draw(st.sampled_from(_NS_PREFIXES))
+        qname = f"{pfx}:{tag}" if pfx else tag
         cls = draw(st.lists(st.sampled_from(CLASSES), max_size=2, unique=True))
         idv = draw(st.one_of(st.none(), st.sampled_from(IDS)))
-        attrs = ""
+        attrs = draw(st.sampled_from(_NS_DECLS))
         if cls:
             attrs += f' class="{" ".join(cls)}"'
         if idv:
             attrs += f' id="{idv}"'
+        if draw(st.integers(0, 4)) == 0:  # occasional prefixed attribute
+            apfx = draw(st.sampled_from(["n1", "n2"]))
+            attrs += f' {apfx}:data="{draw(st.sampled_from(["v", "w"]))}"'
         n_kids = draw(st.integers(0, 3)) if depth < 3 else 0
         inner = "".join(build(depth + 1) for _ in range(n_kids))
-        return f"<{tag}{attrs}>{inner}</{tag}>"
+        return f"<{qname}{attrs}>{inner}</{qname}>"
 
     body = "".join(build(0) for _ in range(draw(st.integers(1, 3))))
     return f"<html><body>{body}</body></html>"
@@ -234,6 +322,12 @@ def selectors(draw):
             st.sampled_from(
                 TAGS
                 + ["*", ".x", ".y", "#i1", "#i2", "[id]", "[id=i1]", "[id=I2 i]"]
+                + [  # namespace forms (prefixes resolve via the doc's
+                     # own declarations; n9 is never declared)
+                    "n1|div", "n1|*", "n2|p", "*|span", "*|*", "|div",
+                    "n9|a", "[n1|data]", "[n2|data=w]", "[*|data]",
+                    "[*|data=v]",
+                ]
             )
         )
         return base + draw(st.sampled_from(_PSEUDOS))
