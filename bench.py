@@ -139,6 +139,11 @@ def bench_once() -> dict:
     import statistics
 
     timings, spreads = run_queries(spark, sf_dir)
+    # crawl-specific warm-up (fetch-UDF forks, broadcast machinery,
+    # commit-path codegen) — the same session-warmed protocol the
+    # --scaling legs use (_crawl_only); without it the first replicate
+    # absorbs a ~10 s constant and drags the median
+    run_crawl_bench(spark, world_spec=dict(n_hosts=4, n_seeds=4, pages_per_host=6))
     crawl_runs = []
     crawl_urls = 0
     for _ in range(REPLICATES):
