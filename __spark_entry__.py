@@ -542,32 +542,28 @@ def _q_image_features(spark, sf_dir):
     """Multimodal decode + feature + thumbnail plumbing over
     deterministic images (absorbs the former image_thumbnails entry —
     the driver grades only the first 50 queries, VERDICT r3 #2; the
-    resize path keeps its own operator + pixel-level pytest oracle)."""
-    from bisque_spark.operators.multimodal import image_features, image_thumbnails
+    resize path keeps its own operator + pixel-level pytest oracle).
+    Uses the FUSED image_pipeline stage: one decode per image feeds
+    both the features and the thumbnail (decode dominates at scale)."""
+    from bisque_spark.operators.multimodal import image_pipeline
     from bisque_spark.operators.extract import materialize_images_batches
-    from bisque_spark.util import pin
 
     ids = spark.range(200).select(
         F.concat(F.lit("img-bench-"), F.col("id")).alias("image_id"),
         F.lit("").alias("caption"),
     )
-    images = pin(
-        ids.mapInPandas(
-            materialize_images_batches,
-            schema="image_id string, bytes binary, w int, h int, fmt string, "
-            "caption string, phash long",
-        )
+    images = ids.mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
     )
-    feats = image_features(images)
-    th = image_thumbnails(images, target=8).select(
-        "image_id", F.md5(F.col("thumb")).alias("thumb_md5")
-    )
-    return feats.join(th, "image_id").select(
+    out = image_pipeline(images, thumb_target=8)
+    return out.select(
         "image_id", "w", "h", "fmt",
         F.round("mean_r", 4).alias("mean_r"),
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
-        "thumb_md5",
+        F.md5(F.col("thumb")).alias("thumb_md5"),
     )
 
 

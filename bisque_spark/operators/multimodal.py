@@ -203,6 +203,59 @@ def image_thumbnails(images: DataFrame, target: int = 8) -> DataFrame:
     )
 
 
+PIPELINE_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, mean_g double, "
+    "mean_b double, thumb binary, error string"
+)
+
+
+def image_pipeline(images: DataFrame, thumb_target: int = 8) -> DataFrame:
+    """Fused features + thumbnail stage: ONE decode per image (the
+    decode dominates at 100 TB — running image_features and
+    image_thumbnails separately pays it twice). Emits the features
+    columns plus the thumbnail blob in a single Arrow pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "image_id": [], "w": [], "h": [], "fmt": [], "mean_r": [],
+                "mean_g": [], "mean_b": [], "thumb": [], "error": [],
+            }
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                err, blob = None, None
+                means = (None, None, None)
+                try:
+                    arr = _decode(data, fmt, int(w), int(h))
+                    means = tuple(float(arr[..., c].mean()) for c in range(3))
+                    ys = np.linspace(
+                        0, int(h) - 1, min(thumb_target, int(h))
+                    ).astype(int)
+                    xs = np.linspace(
+                        0, int(w) - 1, min(thumb_target, int(w))
+                    ).astype(int)
+                    blob = arr[np.ix_(ys, xs)].tobytes()
+                except NotImplementedError:
+                    err = f"codec_unavailable:{fmt}"
+                except Exception as exc:  # noqa: BLE001
+                    err = f"decode_error:{type(exc).__name__}"
+                out["image_id"].append(image_id)
+                out["w"].append(int(w))
+                out["h"].append(int(h))
+                out["fmt"].append(fmt)
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+                out["thumb"].append(blob)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=PIPELINE_SCHEMA
+    )
+
+
 # ---- audio / video columns ----------------------------------------------
 #
 # Same opaque-binary + typed-metadata pattern as images. Audio: raw

@@ -209,3 +209,35 @@ def test_audio_features_null_sample_rate_on_bad_fmt(spark):
     assert rows["m1"]["error"] == "codec_unavailable:mp3"
     assert rows["m1"]["sample_rate"] is None
     assert rows["m2"]["error"] is None and rows["m2"]["duration_s"] > 0
+
+
+def test_image_pipeline_fused_matches_separate_stages(spark):
+    """The fused image_pipeline (one decode per image) must agree
+    exactly with the separate image_features + image_thumbnails
+    stages, including the error column for undecodable rows."""
+    from bisque_spark.operators.multimodal import (
+        image_pipeline,
+    )
+    from bisque_spark.synth import synth_image
+
+    rows = []
+    for i in range(10):
+        m = synth_image(f"fuse-{i}")
+        rows.append((f"fuse-{i}", bytearray(m["bytes"]), m["w"], m["h"], m["fmt"]))
+    rows.append(("bad", bytearray(b"\x00"), 4, 4, "webp"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    fused = {r["image_id"]: r for r in image_pipeline(df, thumb_target=8).collect()}
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    ths = {r["image_id"]: r for r in image_thumbnails(df, target=8).collect()}
+    for iid in fused:
+        f, sep_f, sep_t = fused[iid], feats[iid], ths[iid]
+        assert f["error"] == sep_f["error"] == sep_t["error"]
+        assert f["mean_r"] == sep_f["mean_r"]
+        assert f["mean_g"] == sep_f["mean_g"]
+        assert f["mean_b"] == sep_f["mean_b"]
+        assert (bytes(f["thumb"]) if f["thumb"] is not None else None) == (
+            bytes(sep_t["thumb"]) if sep_t["thumb"] is not None else None
+        )
+    assert fused["bad"]["error"] == "codec_unavailable:webp"
