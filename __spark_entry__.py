@@ -362,8 +362,12 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     quality = scored.where(
         (F.col("n_tokens") >= 5) & (F.col("lang_pred") != "und")
     )
+    from bisque_spark.util import pin
+
     exact_keep = exact_dedup(quality, "doc_id", "text").select("doc_id")
-    survivors = quality.join(exact_keep, "doc_id")
+    # survivors feeds the pair self-join (both sides), the cluster
+    # stage, and the final keep — pin so the scan+langid exprs run once
+    survivors = pin(quality.join(exact_keep, "doc_id"))
     pairs = ngram_jaccard_pairs_exact(
         survivors, "doc_id", "text", n=2, threshold=0.5
     )

@@ -275,7 +275,11 @@ class ParquetCatalog:
             if key and bounds[pv] is not None and rel in stats:
                 lo, hi = stats[rel]
                 kmin, kmax = bounds[pv]
-                if hi < kmin or lo > kmax:  # disjoint key ranges
+                # all-null keys on either side → no range info; fall
+                # through to the conservative hit (None compares throw)
+                if None not in (lo, hi, kmin, kmax) and (
+                    hi < kmin or lo > kmax
+                ):  # disjoint key ranges
                     continue
             hit.add(rel)
         return [f for f in files if f in hit]

@@ -290,3 +290,19 @@ def test_merge_cow_unpartitioned_stats_only(spark, cat):
     assert file_a in v3  # carried by reference, no partitions involved
     rows = {r["image_id"]: r["caption"] for r in cat.read("flat").collect()}
     assert rows == {"a1": "x", "a2": "y", "m1": "X"}
+
+
+def test_merge_cow_null_key_stats_are_conservative(spark, cat):
+    """Files whose stats_key is all-null (min/max = None) must be
+    conservatively rewritten, not crash the range check."""
+    schema = "image_id string, caption string"
+    cat.create_table("nullk", schema, stats_key="image_id")
+    cat.append("nullk", spark.createDataFrame(
+        [(None, "x"), (None, "y")], schema).coalesce(1))
+    cat.append("nullk", spark.createDataFrame(
+        [("k1", "z")], schema).coalesce(1))
+    cat.merge_by_key(
+        "nullk", spark.createDataFrame([("k1", "Z")], schema), key="image_id"
+    )
+    rows = {(r["image_id"], r["caption"]) for r in cat.read("nullk").collect()}
+    assert rows == {(None, "x"), (None, "y"), ("k1", "Z")}
