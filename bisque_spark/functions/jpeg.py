@@ -5,14 +5,15 @@ the sandbox ships no image libraries, so the engine carries its own
 baseline sequential DCT+Huffman codec.
 
 Scope — deliberately the baseline profile only:
-- encode: 8-bit RGB (or grayscale), 4:4:4 (no chroma subsampling —
-  maximizes PSNR and keeps MCU = one block per component), standard
+- encode: 8-bit RGB (or grayscale), 4:4:4 (default — best PSNR) or
+  4:2:0 chroma subsampling (the dominant real-world layout), standard
   quantization tables scaled by the IJG quality formula, standard
   Huffman tables, JFIF APP0.
-- decode: baseline sequential (SOF0), 8-bit, 1x1 sampling factors,
-  no restart intervals. Progressive (SOF2), subsampled, arithmetic,
-  or 12-bit streams raise NotImplementedError — callers route that
-  to an error column (multimodal.py contract).
+- decode: baseline sequential (SOF0), 8-bit, sampling factors up to
+  2×2 (covers 4:4:4, 4:2:2, 4:2:0), no restart intervals.
+  Progressive (SOF2), arithmetic, 12-bit, or >2× sampling streams
+  raise NotImplementedError — callers route that to an error column
+  (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -258,28 +259,62 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes."""
+def _pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = plane.shape
+    if h == th and w == tw:
+        return plane
+    return np.pad(plane, ((0, th - h), (0, tw - w)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes.
+
+    ``subsampling``: '444' (default — no chroma subsampling, best
+    PSNR) or '420' (2×2-averaged chroma, the dominant real-world
+    layout: MCU = 4 Y blocks + Cb + Cr)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     px = pixels.astype(np.float64)
     if gray:
         planes = [px]
+        factors = [(1, 1)]
     else:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
+        factors = (
+            [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+            else [(1, 1)] * 3
+        )
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    bw_mcu = -(-w // (8 * hmax))
+    bh_mcu = -(-h // (8 * vmax))
 
     qts = [_quality_scale(_QT_LUMA, quality)]
     if not gray:
         qts.append(_quality_scale(_QT_CHROMA, quality))
 
-    # vectorized FDCT + quantization per plane
+    # pad/downsample each plane to its MCU-aligned tile grid, then
+    # vectorized FDCT + quantization
     quantized = []
     for ci, plane in enumerate(planes):
+        hi, vi = factors[ci]
+        if (hi, vi) != (hmax, vmax):
+            # subsample: pad to full-res MCU grid, then box-average
+            fy, fx = vmax // vi, hmax // hi
+            full = _pad_to(plane, bh_mcu * 8 * vmax, bw_mcu * 8 * hmax)
+            ph, pw = full.shape
+            plane = full.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        else:
+            plane = _pad_to(plane, bh_mcu * 8 * vi, bw_mcu * 8 * hi)
         qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
         blocks, _, _ = _blockify(plane - 128.0)
         coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
@@ -304,13 +339,24 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _SymbolSink()
     prev = [0] * len(planes)
-    n_blocks = quantized[0].shape[0]
-    for bi in range(n_blocks):  # MCU = one block per component (4:4:4)
-        for ci in range(len(planes)):
-            t = min(ci, 1)
-            prev[ci] = _encode_block(
-                bw, quantized[ci][bi], dc_tabs[t], ac_tabs[t], prev[ci]
-            )
+    # interleaved MCU walk (T.81 A.2.3): per MCU, component ci
+    # contributes hi×vi blocks, left-to-right top-to-bottom
+    for my in range(bh_mcu):
+        for mx in range(bw_mcu):
+            for ci in range(len(planes)):
+                hi, vi = factors[ci]
+                t = min(ci, 1)
+                row_tiles = bw_mcu * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        tile = (my * vi + by) * row_tiles + (mx * hi + bx)
+                        prev[ci] = _encode_block(
+                            bw,
+                            quantized[ci][tile],
+                            dc_tabs[t],
+                            ac_tabs[t],
+                            prev[ci],
+                        )
     entropy = bw.pack()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -320,7 +366,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling, qt id
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += _seg(0xC0, sof)
     specs = [
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -421,9 +468,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} (beyond 4:2:0)"
+                    )
+                comps.append((cid, tq, hi, vi))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -461,12 +511,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS/entropy data")
 
     fh, fw, comps = frame
-    bh, bw_ = -(-fh // 8), -(-fw // 8)
+    comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    bh, bw_ = -(-fh // (8 * vmax)), -(-fw // (8 * hmax))
     n_mcu = bh * bw_
-    comp_by_id = dict(comps)
+    # per-MCU block layout: component ci contributes hi×vi blocks
+    # (T.81 A.2.3); precompute each scan unit's (cid, tile-index fn)
+    units = []  # (cid, td, ta, vi, hi, row_tiles)
+    for cid, td, ta in scan:
+        _tq, hi, vi = comp_info[cid]
+        units.append((cid, td, ta, hi, vi, bw_ * hi))
     # flat Python coefficient lists per component (filled by index) —
     # per-element numpy row writes in the hot loop are ~10× slower
-    coef_lists = {cid: [0] * (n_mcu * 64) for cid, _, _ in scan}
+    coef_lists = {
+        cid: [0] * (n_mcu * comp_info[cid][1] * comp_info[cid][2] * 64)
+        for cid, _, _ in scan
+    }
     prev = {cid: 0 for cid, _, _ in scan}
     # local-variable bit reader: ONE refill per coefficient covers the
     # Huffman code (≤16 bits) plus its value bits (≤11) — measured ~4×
@@ -475,8 +536,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     limit = len(ent)
     pos = acc = n = pad = 0
     for m in range(n_mcu):
-        base = m * 64
-        for cid, td, ta in scan:
+        my, mx = divmod(m, bw_)
+        for cid, td, ta, hi, vi, row_tiles in units:
+          for by in range(vi):
+           for bx in range(hi):
+            base = ((my * vi + by) * row_tiles + (mx * hi + bx)) * 64
             out = coef_lists[cid]
             dsym, dlen = dc_tabs[td]
             asym, alen = ac_tabs[ta]
@@ -544,22 +608,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n -= hl + size
                 acc &= (1 << n) - 1
                 k += 1
-    coefs = {
-        cid: np.asarray(lst, dtype=np.int32).reshape(n_mcu, 64)
-        for cid, lst in coef_lists.items()
-    }
-
     planes = []
     for cid, _td, _ta in scan:
-        q = qt[comp_by_id[cid]].astype(np.float64)
-        zz = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
+        tq, hi, vi = comp_info[cid]
+        ty, tx = bh * vi, bw_ * hi  # component tile grid
+        q = qt[tq].astype(np.float64)
+        zz = (
+            np.asarray(coef_lists[cid], dtype=np.int32)
+            .reshape(-1, 64)[:, _UNZZ]
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
+        )
         deq = zz * q
         blocks = np.einsum("ji,bjk,kl->bil", _D, deq, _D)  # D.T @ B @ D
         plane = (
-            blocks.reshape(bh, bw_, 8, 8)
+            blocks.reshape(ty, tx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
+            .reshape(ty * 8, tx * 8)
         )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:fh, :fw] + 128.0)
 
     if len(planes) == 1:

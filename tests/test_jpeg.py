@@ -118,3 +118,43 @@ def test_image_features_decodes_jpeg_rows(spark):
         assert abs(r["mean_r"] - mr) < 1e-9
         assert abs(r["mean_g"] - mg) < 1e-9
         assert abs(r["mean_b"] - mb) < 1e-9
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 (the dominant real-world layout): interleaved MCU = 4 Y
+    blocks + Cb + Cr, box-averaged chroma down, nearest-neighbor up.
+    On smooth-chroma content it still clears the 40 dB gate and
+    produces smaller files than 4:4:4."""
+    h, w = 37, 53  # non-multiples of 16 exercise MCU edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack([(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], -1),
+        0, 255,
+    ).astype(np.uint8)
+    d444 = encode_jpeg(img, quality=95, subsampling="444")
+    d420 = encode_jpeg(img, quality=95, subsampling="420")
+    dec = decode_jpeg(d420)
+    assert dec.shape == img.shape
+    assert psnr(img, dec) >= 40.0
+    assert len(d420) < len(d444)
+    # SOF records 2x2 luma sampling
+    sof = d420.find(b"\xff\xc0")
+    assert d420[sof + 11] == 0x22  # Y component h=2,v=2
+
+
+def test_420_determinism_and_16_multiple():
+    img = np.arange(32 * 48 * 3, dtype=np.uint8).reshape(32, 48, 3)
+    a = encode_jpeg(img, quality=90, subsampling="420")
+    assert a == encode_jpeg(img, quality=90, subsampling="420")
+    assert decode_jpeg(a).shape == (32, 48, 3)
+
+
+def test_unsupported_subsampling_rejected():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
+    data = bytearray(encode_jpeg(img, quality=90, subsampling="420"))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 11] = 0x33  # 3x3 sampling — beyond baseline-common
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(data))
