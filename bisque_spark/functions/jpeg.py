@@ -272,9 +272,10 @@ def encode_jpeg(
     """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes.
 
     ``subsampling``: '444' (default — no chroma subsampling, best
-    PSNR) or '420' (2×2-averaged chroma, the dominant real-world
-    layout: MCU = 4 Y blocks + Cb + Cr)."""
-    if subsampling not in ("444", "420"):
+    PSNR), '420' (2×2-averaged chroma, the dominant real-world
+    layout: MCU = 4 Y blocks + Cb + Cr), or '422' (horizontal-only
+    2×1 averaging)."""
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
@@ -289,10 +290,11 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-        factors = (
-            [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-            else [(1, 1)] * 3
-        )
+        factors = {
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+            "444": [(1, 1)] * 3,
+        }[subsampling]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     bw_mcu = -(-w // (8 * hmax))

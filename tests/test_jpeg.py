@@ -152,9 +152,32 @@ def test_420_determinism_and_16_multiple():
 def test_unsupported_subsampling_rejected():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg(img, subsampling="422")
+        encode_jpeg(img, subsampling="411")
     data = bytearray(encode_jpeg(img, quality=90, subsampling="420"))
     sof = data.find(b"\xff\xc0")
     data[sof + 11] = 0x33  # 3x3 sampling — beyond baseline-common
     with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(data))
+
+
+def test_422_subsampling_roundtrip():
+    """4:2:2 (horizontal-only chroma averaging): MCU = 2 Y + Cb + Cr;
+    fidelity sits between 4:4:4 and 4:2:0 on smooth content."""
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack([(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], -1),
+        0, 255,
+    ).astype(np.uint8)
+    d = encode_jpeg(img, quality=95, subsampling="422")
+    sof = d.find(b"\xff\xc0")
+    assert d[sof + 11] == 0x21  # Y h=2, v=1
+    dec = decode_jpeg(d)
+    assert dec.shape == img.shape
+    p422 = psnr(img, dec)
+    p420 = psnr(img, decode_jpeg(encode_jpeg(img, quality=95, subsampling="420")))
+    p444 = psnr(img, decode_jpeg(encode_jpeg(img, quality=95, subsampling="444")))
+    # monotone fidelity across subsampling modes; the absolute 40 dB
+    # gate is a 4:4:4 contract (chroma-subsampled modes trade chroma
+    # fidelity for size by design)
+    assert p444 >= p422 >= p420 >= 35.0
