@@ -305,3 +305,26 @@ def delete_from_shards(
     return shards.groupBy("bucket").cogroup(
         keyed.groupBy("bucket")
     ).applyInPandas(drop_group, schema=_SHARD_SCHEMA)
+
+
+def filter_unseen_cuckoo(
+    candidates: DataFrame,
+    shards: DataFrame | None,
+    seen_exact: DataFrame | None,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Drop-in twin of seen.filter_unseen with cuckoo shards: filter
+    positives are maybes, confirmed by the exact anti-join — the
+    correctness contract is identical (never depends on the filter),
+    plus this family supports delete_from_shards for recrawl."""
+    if shards is None or seen_exact is None:
+        return candidates
+    marked = mark_maybe_seen(candidates, shards, buckets=buckets)
+    definite_new = marked.where(~F.col("maybe_seen")).drop(
+        "maybe_seen", "bucket"
+    )
+    maybes = marked.where(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+    confirmed_new = maybes.join(
+        seen_exact.select("url_hash"), on="url_hash", how="left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

@@ -108,3 +108,37 @@ def test_shard_build_lookup_merge_delete(spark):
     dropped = mark_maybe_seen(df, after, buckets=8)
     # deleted keys are gone up to the residual fp rate
     assert dropped.where("maybe_seen").count() <= 4
+
+
+def test_filter_unseen_cuckoo_crawl_shaped_chain(spark):
+    """The cuckoo family drives the same epoch chain as the Bloom
+    default — pre-filter + exact-confirm anti-join — and agrees with
+    the ground truth: candidates minus the seen set, plus re-opened
+    (deleted) URLs become schedulable again."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.cuckoo import filter_unseen_cuckoo
+
+    seen = spark.range(300).select(F.xxhash64("id").alias("url_hash"))
+    shards = build_shards(seen, buckets=8, nb=1 << 9)
+    cands = spark.range(200, 500).select(F.xxhash64("id").alias("url_hash"))
+
+    out = filter_unseen_cuckoo(cands, shards, seen, buckets=8)
+    got = {r["url_hash"] for r in out.collect()}
+    truth = {
+        r["url_hash"]
+        for r in spark.range(300, 500)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .collect()
+    }
+    assert got == truth  # exact-confirm makes the filter invisible
+
+    # re-open 250..299 (delete from filter AND from the exact set):
+    # they become schedulable again
+    reopen = spark.range(250, 300).select(F.xxhash64("id").alias("url_hash"))
+    shards2 = delete_from_shards(shards, reopen, buckets=8)
+    seen2 = seen.join(reopen, "url_hash", "left_anti")
+    out2 = filter_unseen_cuckoo(cands, shards2, seen2, buckets=8)
+    got2 = {r["url_hash"] for r in out2.collect()}
+    truth2 = truth | {r["url_hash"] for r in reopen.collect()}
+    assert got2 == truth2
