@@ -10,7 +10,7 @@ Scope — deliberately the baseline profile only:
   quantization tables scaled by the IJG quality formula, standard
   Huffman tables, JFIF APP0.
 - decode: baseline sequential (SOF0), 8-bit, sampling factors up to
-  2×2 (covers 4:4:4, 4:2:2, 4:2:0), no restart intervals.
+  2×2 (covers 4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart intervals.
   Progressive (SOF2), arithmetic, 12-bit, or >2× sampling streams
   raise NotImplementedError — callers route that to an error column
   (multimodal.py contract).
@@ -267,14 +267,21 @@ def _pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes.
 
     ``subsampling``: '444' (default — no chroma subsampling, best
     PSNR), '420' (2×2-averaged chroma, the dominant real-world
     layout: MCU = 4 Y blocks + Cb + Cr), or '422' (horizontal-only
-    2×1 averaging)."""
+    2×1 averaging).
+
+    ``restart_interval``: emit a DRI segment and an RSTn marker every
+    N MCUs (byte-aligned restart points with DC-predictor reset —
+    T.81 F.1.2.2.4). 0 = no restarts."""
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     pixels = np.asarray(pixels)
@@ -341,10 +348,18 @@ def encode_jpeg(
 
     bw = _SymbolSink()
     prev = [0] * len(planes)
+    segments: list[bytes] = []
     # interleaved MCU walk (T.81 A.2.3): per MCU, component ci
     # contributes hi×vi blocks, left-to-right top-to-bottom
+    m = 0
     for my in range(bh_mcu):
         for mx in range(bw_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                # byte-align, emit the segment, reset DC predictors
+                segments.append(bw.pack())
+                bw = _SymbolSink()
+                prev = [0] * len(planes)
+            m += 1
             for ci in range(len(planes)):
                 hi, vi = factors[ci]
                 t = min(ci, 1)
@@ -359,7 +374,13 @@ def encode_jpeg(
                             ac_tabs[t],
                             prev[ci],
                         )
-    entropy = bw.pack()
+    segments.append(bw.pack())
+    pieces = []
+    for si, seg in enumerate(segments):
+        if si:
+            pieces.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
+        pieces.append(seg)
+    entropy = b"".join(pieces)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -382,6 +403,8 @@ def encode_jpeg(
         ]
     for tc_th, bits, vals in specs:
         out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
@@ -430,6 +453,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     scan = None
     entropy = None
+    dri = 0
     i = 2
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -481,8 +505,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(seg[0:2], "big") != 0:
-                raise NotImplementedError("restart intervals")
+            dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -497,16 +520,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             arr = np.frombuffer(data, dtype=np.uint8, offset=j)
             ff = np.flatnonzero(arr[:-1] == 0xFF)
             nxt = arr[ff + 1]
-            real = ff[nxt != 0x00]  # first non-stuffed marker ends the scan
-            if len(real):
-                after = int(arr[real[0] + 1])
-                if 0xD0 <= after <= 0xD7:
-                    raise NotImplementedError("restart intervals")
-                end = j + int(real[0])
-            else:
-                end = len(data)
-            entropy = data[j:end].replace(b"\xff\x00", b"\xff")
-            i = end
+            is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+            enders = ff[(nxt != 0x00) & ~is_rst]
+            end_rel = int(enders[0]) if len(enders) else len(arr)
+            rst_at = [int(r) for r in ff[is_rst] if r < end_rel]
+            segs, off = [], 0
+            for r in rst_at:  # split at RSTn (marker bytes dropped)
+                segs.append(data[j + off : j + r])
+                off = r + 2
+            segs.append(data[j + off : j + end_rel])
+            entropy = [sg.replace(b"\xff\x00", b"\xff") for sg in segs]
+            i = j + end_rel
             continue
         i += ln
     if frame is None or scan is None or entropy is None:
@@ -534,10 +558,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # local-variable bit reader: ONE refill per coefficient covers the
     # Huffman code (≤16 bits) plus its value bits (≤11) — measured ~4×
     # over per-call reader methods on the same stream
-    ent = entropy
+    expected_segs = -(-n_mcu // dri) if dri else 1
+    if len(entropy) != expected_segs:
+        raise ValueError(
+            f"restart segment count {len(entropy)} != expected "
+            f"{expected_segs} (DRI={dri})"
+        )
+    seg_i = 0
+    ent = entropy[0]
     limit = len(ent)
     pos = acc = n = pad = 0
     for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            # restart: byte-aligned next segment, DC predictors reset
+            seg_i += 1
+            ent = entropy[seg_i]
+            limit = len(ent)
+            pos = acc = n = pad = 0
+            for _cid in prev:
+                prev[_cid] = 0
         my, mx = divmod(m, bw_)
         for cid, td, ta, hi, vi, row_tiles in units:
           for by in range(vi):

@@ -181,3 +181,25 @@ def test_422_subsampling_roundtrip():
     # gate is a 4:4:4 contract (chroma-subsampled modes trade chroma
     # fidelity for size by design)
     assert p444 >= p422 >= p420 >= 35.0
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn (T.81 F.1.2.2.4): byte-aligned restart points with DC
+    predictor reset. Restarts are pure re-framing — decoded pixels are
+    identical to the no-restart encoding at every interval."""
+    img = np.arange(40 * 56 * 3, dtype=np.uint8).reshape(40, 56, 3)
+    for ss in ("444", "420"):
+        ref = decode_jpeg(encode_jpeg(img, 92, subsampling=ss))
+        for ri in (1, 3, 7):
+            d = encode_jpeg(img, 92, subsampling=ss, restart_interval=ri)
+            assert b"\xff\xdd" in d  # DRI segment present
+            assert (decode_jpeg(d) == ref).all()
+
+
+def test_restart_segment_count_mismatch_rejected():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    d = bytearray(encode_jpeg(img, 90, restart_interval=1))
+    dri = d.find(b"\xff\xdd")
+    d[dri + 4 : dri + 6] = (3).to_bytes(2, "big")  # lie about interval
+    with pytest.raises(ValueError, match="restart segment count"):
+        decode_jpeg(bytes(d))
