@@ -409,6 +409,36 @@ def _q_extract_captions(spark, sf_dir):
     ).select("url", "img.image_id", "img.caption")
 
 
+def _q_crawl_refresh_schedule(spark, sf_dir):
+    """Recrawl scheduling (operators/recrawl.due_for_refresh) re-shaped
+    over the events parquet so the whole chain — policy broadcast join,
+    age gate, priority, per-host window cap — is DuckDB hash-verified
+    (the synth-seen variant stays pinned by test_recrawl.py's
+    in-process oracle + the cuckoo re-open e2e). url_hash = event_id
+    (unique ⇒ the rank tie-break never fires and the oracle is
+    order-free)."""
+    from bisque_spark.operators.recrawl import due_for_refresh, policy_table
+
+    ev = _load(spark, sf_dir, "events")
+    seen = ev.select(
+        F.col("event_id").alias("url_hash"),
+        F.concat(
+            F.lit("http://u"), F.col("user_id").cast("string"),
+            F.lit(".test/e"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit(".test")
+        ).alias("host"),
+        (F.col("event_id") % 9).cast("int").alias("fetched_epoch"),
+        (F.col("event_id") % 4).cast("int").alias("change_hint"),
+    )
+    out = due_for_refresh(seen, 9, policy_table(spark), limit_per_host=3)
+    return out.select(
+        "url_hash", "url", "host", "age",
+        F.round("priority", 6).alias("priority"),
+    )
+
+
 def _q_crawl_epoch(spark, sf_dir):
     """One frontier epoch — robots broadcast-⋈ (exists/startswith
     prefix match) → two-phase salted politeness window rank — the
@@ -1133,7 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_thumbnails into image_features — same code paths, fewer
     slots; their pytest oracles are unchanged."""
     return {
-        # -- 38 oracle-backed (DuckDB row+schema+hash verified) ------------
+        # -- 39 oracle-backed (DuckDB row+schema+hash verified) ------------
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -1150,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_exact_near_pairs": _q_emb_exact_near_pairs,
         "doc_lang_run_clusters": _q_doc_lang_run_clusters,
         "crawl_epoch_schedule": _q_crawl_epoch,
+        "crawl_refresh_schedule": _q_crawl_refresh_schedule,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_balance_by_nation": _q_supplier_balance_by_nation,
         "orders_by_month": _q_orders_by_month,
@@ -1172,11 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "active_users_both_types": _q_active_users_both_types,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
-        # -- 12 rows-only (oracle = reference/numpy via pytest) ------------
+        # -- 11 rows-only (oracle = reference/numpy via pytest) ------------
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
-        "doc_fingerprint": _q_doc_fingerprint,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "extract_captions": _q_extract_captions,
         "image_features": _q_image_features,
@@ -1275,6 +1305,37 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "crawl_refresh_schedule": """
+            WITH seen AS (
+                SELECT event_id AS url_hash,
+                       'http://u' || CAST(user_id AS VARCHAR) || '.test/e'
+                           || CAST(event_id AS VARCHAR) AS url,
+                       'u' || CAST(user_id AS VARCHAR) || '.test' AS host,
+                       CAST(event_id % 9 AS INT) AS fetched_epoch,
+                       CAST(event_id % 4 AS INT) AS change_hint
+                FROM events
+            ), policy(change_hint, refresh_interval, weight) AS (
+                -- explicit DOUBLE: DuckDB's VALUES would infer DECIMAL
+                VALUES (0, 8, CAST(1.0 AS DOUBLE)),
+                       (1, 4, CAST(2.0 AS DOUBLE)),
+                       (2, 2, CAST(4.0 AS DOUBLE)),
+                       (3, 1, CAST(8.0 AS DOUBLE))
+            ), aged AS (
+                SELECT s.url_hash, s.url, s.host,
+                       CAST(9 - s.fetched_epoch AS INT) AS age,
+                       (9 - s.fetched_epoch) * p.weight AS priority
+                FROM seen s JOIN policy p USING (change_hint)
+                WHERE 9 - s.fetched_epoch >= p.refresh_interval
+            )
+            SELECT url_hash, url, host, age,
+                   round(priority, 6) AS priority
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY priority DESC, url_hash ASC) AS rk
+                FROM aged
+            ) WHERE rk <= 3
         """,
         # the WHOLE curation pipeline, hash-verified end to end (r4):
         # quality gate -> langid -> exact dedup (min id per md5) ->
