@@ -290,3 +290,37 @@ def simhash_udf(col):
 def hamming64_col(a: Column, b: Column) -> Column:
     """Hamming distance between two signed-64 simhashes (JVM bit ops)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def corpus_unigram_logprob(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical distribution — the classic LM-based quality signal
+    (CCNet / Gopher-style filtering): documents whose tokens are
+    unusual for the corpus score low; boilerplate and natural text
+    score high. Low-scoring tails are removal candidates.
+
+    Fully relational (no UDF): explode tokens → corpus counts →
+    token-count join → per-doc avg(ln(count/total)). The count table
+    is Zipf-shaped, so at 10^10 docs the join side stays broadcastable
+    after standard top-K vocab pruning; here it joins by shuffle on
+    the token key. Scoring the corpus against itself needs no
+    smoothing (every token has count ≥ 1).
+
+    → (id_col, n_toks long, mean_logprob double)
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.avg(F.log(F.col("c") / F.col("n_total"))).alias("mean_logprob"),
+        )
+    )

@@ -93,6 +93,11 @@ CHECKS = {
         ("Expand", "delta rollup still one grouping-sets pass"),
         ("!EvalPython", "pure JVM"),
     ],
+    "crawl_refresh_schedule": [
+        ("BroadcastHashJoin", "refresh policy dim broadcast"),
+        ("WindowGroupLimit", "per-host cap pushed into the window"),
+        ("!EvalPython", "pure JVM"),
+    ],
 }
 
 

@@ -178,3 +178,50 @@ def test_bpe_token_count(spark):
             params=[t],
         ).fetchone()[0]
         assert got[i] == want, (t, got[i], want)
+
+
+def test_corpus_unigram_logprob_matches_duckdb(spark):
+    """LM-quality scoring hash-verified against an in-process DuckDB
+    oracle (same hard signal as the driver's graded queries), plus the
+    semantic property: a junk document of corpus-unique tokens scores
+    strictly below every natural document."""
+    import duckdb
+
+    from bisque_spark.functions.text import corpus_unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat and the dog"),
+        (4, "zxqj vwpk qqzz xkcd"),  # junk: every token unique
+        (5, "   "),                   # whitespace-only → no tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_toks"], round(r["mean_logprob"], 6))
+        for r in corpus_unigram_logprob(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", rows)
+    want = {
+        d: (n, round(p, 6))
+        for d, n, p in con.execute("""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ), counts AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), total AS (SELECT count(*) AS n FROM toks)
+            SELECT doc_id, count(*) AS n_toks,
+                   avg(ln(c * 1.0 / n)) AS mean_logprob
+            FROM toks JOIN counts USING (tok) CROSS JOIN total
+            GROUP BY doc_id
+        """).fetchall()
+    }
+    assert got == want
+    assert 5 not in got  # token-less docs have no distribution to score
+    junk, natural = got[4][1], [got[i][1] for i in (1, 2, 3)]
+    assert all(junk < p for p in natural)
