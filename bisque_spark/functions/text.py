@@ -324,3 +324,83 @@ def corpus_unigram_logprob(
             F.avg(F.log(F.col("c") / F.col("n_total"))).alias("mean_logprob"),
         )
     )
+
+
+def repetition_cols(text: str | Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    paper — the rules, not the code), as pure Column expressions:
+
+    - dup_line_frac:    fraction of LINES that are duplicates of an
+                        earlier line (1 - distinct/total)
+    - dup_line_char_frac: fraction of line CHARACTERS inside duplicated
+                        lines (repeated boilerplate dominates length)
+    - top_2gram_frac:   fraction of tokens covered by the most frequent
+                        token 2-gram (template spam has one dominant)
+
+    High values flag boilerplate/template documents for removal.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    distinct_lines = F.array_distinct(lines)
+    n_distinct = F.size(distinct_lines)
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    # chars in lines occurring more than once = total - chars of lines
+    # occurring exactly once
+    once_chars = F.aggregate(
+        F.filter(
+            distinct_lines,
+            lambda d: F.size(F.filter(lines, lambda x: x == d)) == 1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    toks = tokens_col(c)
+    n_toks = F.size(toks)
+    grams = F.when(n_toks < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    top_gram_count = F.when(F.size(grams) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda d: F.size(F.filter(grams, lambda g: g == d)),
+            )
+        )
+    )
+    return {
+        "dup_line_frac": F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            1.0 - n_distinct / n_lines
+        ),
+        "dup_line_char_frac": F.when(total_chars == 0, F.lit(0.0)).otherwise(
+            (total_chars - once_chars) / total_chars
+        ),
+        "top_2gram_frac": F.when(n_toks == 0, F.lit(0.0)).otherwise(
+            # a 2-gram occurring k times covers up to 2k tokens
+            F.least(F.lit(1.0), 2.0 * top_gram_count / n_toks)
+        ),
+    }
+
+
+# PII patterns (plain regex over public formats; lookahead-free so the
+# JVM regex engine and test oracles agree)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(?:\+?\d{1,3}[-. (]{1,2})?\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii_col(text: str | Column) -> Column:
+    """Redact emails, phone-shaped numbers, and IPv4 addresses with
+    typed placeholders — the standard pre-training scrub pass, JVM-side
+    (three chained regexp_replace, no UDF). Order matters: emails
+    first (their local parts can contain digits that the phone pattern
+    would otherwise chew)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return F.regexp_replace(out, _PII_PHONE, "<PHONE>")

@@ -225,3 +225,75 @@ def test_corpus_unigram_logprob_matches_duckdb(spark):
     assert 5 not in got  # token-less docs have no distribution to score
     junk, natural = got[4][1], [got[i][1] for i in (1, 2, 3)]
     assert all(junk < p for p in natural)
+
+
+def test_repetition_cols_match_python_oracle(spark):
+    """Gopher-style repetition signals vs a direct Python computation
+    of the same definitions."""
+    from bisque_spark.functions.text import repetition_cols
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nunique line"),
+        (2, "alpha beta\ngamma delta"),
+        (3, "spam ham spam ham spam ham spam ham"),
+        (4, ""),
+        (5, "one\n\none"),  # blank lines ignored
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = repetition_cols("text")
+    got = {
+        row["doc_id"]: (
+            round(row["dlf"], 6), round(row["dlcf"], 6), round(row["t2f"], 6)
+        )
+        for row in docs.select(
+            "doc_id",
+            r["dup_line_frac"].alias("dlf"),
+            r["dup_line_char_frac"].alias("dlcf"),
+            r["top_2gram_frac"].alias("t2f"),
+        ).collect()
+    }
+
+    def oracle(text):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        toks = text.split()
+        if lines:
+            dlf = 1.0 - len(set(lines)) / len(lines)
+            total = sum(len(ln) for ln in lines)
+            once = sum(len(ln) for ln in set(lines) if lines.count(ln) == 1)
+            dlcf = (total - once) / total if total else 0.0
+        else:
+            dlf = dlcf = 0.0
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        t2f = (
+            min(1.0, 2.0 * max(grams.count(g) for g in set(grams)) / len(toks))
+            if grams else 0.0
+        )
+        return (round(dlf, 6), round(dlcf, 6), round(t2f, 6))
+
+    for doc_id, text in rows:
+        assert got[doc_id] == oracle(text), doc_id
+    # the boilerplate doc is flagged hard
+    assert got[1][0] >= 0.5 and got[1][1] >= 0.5
+    assert got[3][2] == 1.0  # one dominant 2-gram covers everything
+
+
+def test_scrub_pii_col(spark):
+    from bisque_spark.functions.text import scrub_pii_col
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk today"),
+        (2, "call +1 (555) 123-4567 or 555-987-6543"),
+        (3, "server at 192.168.1.100 responded"),
+        (4, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in docs.select(
+            "doc_id", scrub_pii_col("text").alias("clean")
+        ).collect()
+    }
+    assert got[1] == "contact me at <EMAIL> today"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "no pii here at all"
