@@ -465,10 +465,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
             continue
         ln = int.from_bytes(data[i : i + 2], "big")
+        if ln < 2:
+            raise ValueError("bad segment length")
         seg = data[i + 2 : i + ln]
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
@@ -478,19 +482,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated DHT")
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("truncated DHT")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF")
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
             fh = int.from_bytes(seg[1:3], "big")
             fw = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if fh == 0 or fw == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                raise ValueError("bad SOF geometry")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -507,6 +519,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated SOS")
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -538,6 +552,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     fh, fw, comps = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    for cid, td, ta in scan:
+        if cid not in comp_info:
+            raise ValueError("scan references unknown component")
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("scan references missing huffman table")
+        if comp_info[cid][0] not in qt:
+            raise ValueError("component references missing quant table")
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
     bh, bw_ = -(-fh // (8 * vmax)), -(-fw // (8 * hmax))

@@ -203,3 +203,38 @@ def test_restart_segment_count_mismatch_rejected():
     d[dri + 4 : dri + 6] = (3).to_bytes(2, "big")  # lie about interval
     with pytest.raises(ValueError, match="restart segment count"):
         decode_jpeg(bytes(d))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decoder_contains_garbage(data):
+    """Arbitrary bytes must produce a CONTAINED error (ValueError /
+    NotImplementedError / IndexError-free crash never) — the multimodal
+    error-column contract depends on decode failures being catchable."""
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40))
+def test_decoder_contains_truncations_and_bitflips(seed, nflips):
+    """Truncations and bit-flips of VALID streams are likewise
+    contained (or decode to some image — garbage pixels are fine,
+    uncontained exceptions are not)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80))
+    for _ in range(nflips):
+        data[rng.randint(2, len(data))] ^= 1 << rng.randint(8)
+    for payload in (bytes(data), bytes(data[: rng.randint(2, len(data))])):
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
