@@ -381,3 +381,31 @@ def lsh_near_pairs(
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def diversity_sample(
+    assigned: DataFrame,
+    k_per_cell: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-stratified diversity sampling over an IVF assignment:
+    exactly ≤ k rows per coarse cell, spanning the embedding space
+    instead of oversampling its dense modes — the standard pick for
+    seeding curation/eval sets from a large corpus.
+
+    Fully deterministic (crawl.py contract: no rand()): per-cell rank
+    orders by xxhash64(id) — a fixed pseudo-random permutation — with
+    the id itself as tie-break; same input ⇒ same sample on any
+    cluster layout. One shuffle (the window partition by cell), and
+    WindowGroupLimit prunes each partition to k before the sort
+    completes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k_per_cell)
+        .drop("__rk")
+    )

@@ -241,3 +241,27 @@ def test_image_pipeline_fused_matches_separate_stages(spark):
             bytes(sep_t["thumb"]) if sep_t["thumb"] is not None else None
         )
     assert fused["bad"]["error"] == "codec_unavailable:webp"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bisque_spark.operators.multimodal import decode_bmp, decode_ppm, decode_wav
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_container_decoders_contain_garbage(data):
+    """PPM/BMP/WAV walks must raise contained error types on arbitrary
+    bytes — the multimodal error-column contract (decode failures are
+    catchable per row, never kill the Arrow batch)."""
+    for fn, magic in (
+        (decode_ppm, b"P6"),
+        (decode_bmp, b"BM"),
+        (decode_wav, b"RIFF"),
+    ):
+        for payload in (data, magic + data):
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError):
+                pass

@@ -230,3 +230,58 @@ def test_ivf_query_rejects_zero_norm_query(spark):
     assigned, centroids = ivf_build(df, n_cells=4)
     with pytest.raises(ValueError, match="zero-norm"):
         ivf_query(assigned, centroids, query=[0.0, 0.0, 0.0], k=3)
+
+
+def test_diversity_sample_stratified_and_deterministic(spark):
+    """Cluster-stratified sampling: <= k per cell, covers every
+    non-empty cell, bit-identical across runs, and hash-verified
+    against an in-process DuckDB oracle of the same definition."""
+    import duckdb
+
+    from bisque_spark.operators.similarity import diversity_sample, ivf_build
+
+    df = spark.createDataFrame(
+        [
+            (i, [float((i % 7) * 3 + d) for d in range(4)])
+            for i in range(200)
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    assigned, _ = ivf_build(df, n_cells=5, pin_index=False)
+    out = diversity_sample(assigned, k_per_cell=6)
+    rows = [(r["vec_id"], r["cell"]) for r in out.collect()]
+    per_cell = {}
+    for vid, cell in rows:
+        per_cell.setdefault(cell, []).append(vid)
+    assert all(len(v) <= 6 for v in per_cell.values())
+    nonempty = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert set(per_cell) == nonempty  # every populated cell represented
+
+    again = {(r["vec_id"], r["cell"]) for r in
+             diversity_sample(assigned, k_per_cell=6).collect()}
+    assert again == set(rows)  # deterministic
+
+    # DuckDB oracle over the SAME assignment (xxhash64 isn't available
+    # in DuckDB, so export the rank key from Spark and re-rank in SQL)
+    import pyspark.sql.functions as F
+
+    keyed = assigned.select(
+        "vec_id", "cell", F.xxhash64(F.col("vec_id")).alias("hk")
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a (vec_id INT, cell INT, hk BIGINT)")
+    con.executemany(
+        "INSERT INTO a VALUES (?,?,?)",
+        [(r["vec_id"], r["cell"], r["hk"]) for r in keyed],
+    )
+    want = {
+        (v, c)
+        for v, c in con.execute("""
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY cell ORDER BY hk ASC, vec_id ASC) AS rk
+                FROM a
+            ) WHERE rk <= 6
+        """).fetchall()
+    }
+    assert set(rows) == want
