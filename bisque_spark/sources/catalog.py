@@ -335,6 +335,58 @@ class ParquetCatalog:
             m["last_merge_ts"] = time.time()
             self._write_manifest(name, m)
 
+    def compact(
+        self,
+        name: str,
+        target_files_per_partition: int = 1,
+        partition_values: dict | None = None,
+    ) -> int:
+        """Bin-pack small data files (Iceberg rewriteDataFiles): read
+        the current snapshot (optionally one partition), rewrite it as
+        ``target_files_per_partition`` files per partition directory,
+        and commit a new snapshot — content-identical, fewer files.
+        Untouched partitions carry by reference; prior snapshots keep
+        reading their original files (time travel unaffected). The
+        crawl's per-epoch appends leave one small file per epoch per
+        partition; compaction folds an epoch's long tail back into
+        scan-efficient files. Returns the new version."""
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            prev = m["snapshots"][str(m["version"])]
+            parts = m["partition_by"]
+            if not prev:
+                return m["version"]
+            if partition_values:
+                prefix_parts = [
+                    f"{k}={v}" for k, v in partition_values.items()
+                ]
+
+                def in_scope(f: str) -> bool:
+                    segs = f.split(os.sep)
+                    return all(p in segs for p in prefix_parts)
+
+                scope = [f for f in prev if in_scope(f)]
+            else:
+                scope = list(prev)
+            carried = [f for f in prev if f not in set(scope)]
+            if not scope:
+                return m["version"]
+            current = self._read_files(name, m["schema"], scope)
+            if parts:
+                # hash-repartition on the partition columns: each
+                # partition value lands in exactly one task → ONE file
+                # per partition directory (full compaction; the
+                # per-partition target applies to unpartitioned tables)
+                current = current.repartition(*[F.col(p) for p in parts])
+            else:
+                current = current.coalesce(target_files_per_partition)
+            new_files = self._stage_files(name, current, parts)
+            self._record_stats(name, m, new_files)
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = sorted(carried) + new_files
+            self._write_manifest(name, m)
+            return m["version"]
+
     def version(self, name: str) -> int:
         return self._read_manifest(name)["version"]
 

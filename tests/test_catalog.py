@@ -306,3 +306,75 @@ def test_merge_cow_null_key_stats_are_conservative(spark, cat):
     )
     rows = {(r["image_id"], r["caption"]) for r in cat.read("nullk").collect()}
     assert rows == {(None, "x"), (None, "y"), ("k1", "Z")}
+
+
+def test_compact_folds_small_files(spark, cat):
+    """Compaction (Iceberg rewriteDataFiles shape): N appends leave N
+    files per partition; compact() folds them to one per partition in
+    a NEW snapshot with identical content, while prior snapshots keep
+    reading their original files."""
+    import json
+    import os
+
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("cmp", schema, partition_by=["bucket"],
+                     stats_key="image_id")
+    for i in range(4):  # 4 appends → ≥4 files per bucket
+        cat.append(
+            "cmp",
+            spark.createDataFrame(
+                [(f"k{i}-{b}", b, f"c{i}") for b in (0, 1)], schema
+            ).coalesce(1),
+        )
+    m = json.load(open(os.path.join(cat.root, "cmp", "_manifest.json")))
+    before_files = m["snapshots"][str(m["version"])]
+    assert len(before_files) >= 8
+    before_rows = {(r["image_id"], r["caption"])
+                   for r in cat.read("cmp").collect()}
+
+    v = cat.compact("cmp")
+    m = json.load(open(os.path.join(cat.root, "cmp", "_manifest.json")))
+    after_files = m["snapshots"][str(v)]
+    assert len(after_files) == 2  # one per bucket
+    assert {(r["image_id"], r["caption"]) for r in cat.read("cmp").collect()} \
+        == before_rows
+    # stats recomputed for the compacted files
+    assert all(f in m["file_stats"] for f in after_files)
+    # time travel: the pre-compaction snapshot still reads
+    assert {(r["image_id"], r["caption"])
+            for r in cat.read("cmp", version=v - 1).collect()} == before_rows
+    # and a subsequent merge prunes against the compacted layout
+    cat.merge_by_key(
+        "cmp",
+        spark.createDataFrame([("k0-0", 0, "NEW")], schema),
+        key="image_id",
+    )
+    rows = {r["image_id"]: r["caption"] for r in cat.read("cmp").collect()}
+    assert rows["k0-0"] == "NEW" and len(rows) == 8
+
+
+def test_compact_single_partition_scope(spark, cat):
+    """partition_values scopes compaction to one partition; the others
+    carry by reference."""
+    import json
+    import os
+
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("cmp2", schema, partition_by=["bucket"])
+    for i in range(3):
+        cat.append(
+            "cmp2",
+            spark.createDataFrame(
+                [(f"x{i}-{b}", b, "c") for b in (0, 1)], schema
+            ).coalesce(1),
+        )
+    m = json.load(open(os.path.join(cat.root, "cmp2", "_manifest.json")))
+    v0 = m["version"]
+    before = set(m["snapshots"][str(v0)])
+    v = cat.compact("cmp2", partition_values={"bucket": 1})
+    m = json.load(open(os.path.join(cat.root, "cmp2", "_manifest.json")))
+    after = set(m["snapshots"][str(v)])
+    untouched = {f for f in before if "bucket=1" not in f}
+    assert untouched <= after  # bucket=0 files carried by reference
+    assert len([f for f in after if "bucket=1" in f]) == 1
+    assert cat.read("cmp2").count() == 6
