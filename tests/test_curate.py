@@ -1,0 +1,52 @@
+"""plans/curate.py: the end-to-end curation composition — monotone
+stage counts, determinism, PII actually scrubbed, idempotent sink."""
+
+import pyspark.sql.functions as F
+
+from bisque_spark.plans.curate import run_curation
+
+
+def _tables(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return docs, embs
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    docs, embs = _tables(spark)
+    wd = str(tmp_path / "cat")
+    counts = run_curation(spark, docs, embs, wd, sample_per_cell=10)
+
+    # monotone funnel
+    assert (
+        counts["input"]
+        >= counts["after_quality"]
+        >= counts["after_lm"]
+        >= counts["after_dedup"]
+        >= counts["final"]
+        > 0
+    )
+    assert counts["catalog_version"] == 1
+
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, wd)
+    out = cat.read("curated")
+    assert out.count() == counts["final"]
+    # PII scrub ran: no raw email shapes survive
+    assert (
+        out.where(
+            F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).count()
+        == 0
+    )
+    # determinism + idempotent sink: re-running produces the SAME doc
+    # set and upserts rather than duplicating
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    counts2 = run_curation(spark, docs, embs, wd, sample_per_cell=10)
+    assert counts2["final"] == counts["final"]
+    out2 = cat.read("curated")
+    assert out2.count() == counts["final"]
+    assert {r["doc_id"] for r in out2.select("doc_id").collect()} == ids1
+    assert counts2["catalog_version"] == 2  # a new snapshot, same rows
