@@ -40,6 +40,7 @@ HEADLINE = [
     "lsh_embedding_pairs",
     "extract_captions",
     "image_features",
+    "crawl_refresh_schedule",  # r4: recrawl scheduling (pure JVM)
 ]
 
 BENCH_WORLD = dict(n_hosts=1500, n_seeds=2500, pages_per_host=80)
