@@ -404,3 +404,99 @@ def scrub_pii_col(text: str | Column) -> Column:
     out = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, _PII_IPV4, "<IP>")
     return F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+
+
+def repetition_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Relational form of :func:`repetition_cols` — same three signals
+    via explode + groupBy instead of per-document array filters. The
+    Column form is O(lines² + grams²) PER DOCUMENT (fine for web pages,
+    a trap for book-length docs); this form is linear with two
+    shuffles on (id, line)/(id, gram) keys and is the 100-TB path.
+
+    → (id_col, dup_line_frac, dup_line_char_frac, top_2gram_frac)
+    with 0.0 for documents without lines/tokens.
+    """
+    base = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+
+    lines = base.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.col("__text"), "\n"),
+                lambda x: F.length(F.trim(x)) > 0,
+            )
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first(F.length("line")).alias("len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("len")).alias("total_chars"),
+            F.sum(F.when(F.col("cnt") == 1, F.col("len")).otherwise(0)).alias(
+                "once_chars"
+            ),
+        )
+        .select(
+            id_col,
+            (1.0 - F.col("n_distinct") / F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            F.when(F.col("total_chars") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("total_chars") - F.col("once_chars"))
+                / F.col("total_chars")
+            )
+            .alias("dup_line_char_frac"),
+        )
+    )
+
+    toks = base.select(id_col, tokens_col(F.col("__text")).alias("toks"))
+    n_toks = toks.select(id_col, F.size("toks").alias("n_toks"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("toks") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+                )
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    gram_frac = n_toks.join(gram_stats, id_col, "left").select(
+        id_col,
+        F.when(
+            (F.col("n_toks") == 0) | F.col("max_cnt").isNull(), F.lit(0.0)
+        )
+        .otherwise(
+            F.least(F.lit(1.0), 2.0 * F.col("max_cnt") / F.col("n_toks"))
+        )
+        .alias("top_2gram_frac"),
+    )
+
+    return (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(gram_frac, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )

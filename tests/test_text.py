@@ -297,3 +297,41 @@ def test_scrub_pii_col(spark):
     assert got[2] == "call <PHONE> or <PHONE>"
     assert got[3] == "server at <IP> responded"
     assert got[4] == "no pii here at all"
+
+
+def test_repetition_stats_equals_column_form(spark):
+    """The relational (explode+groupBy, linear) form must agree exactly
+    with the per-document Column form on every signal — including
+    empty and blank-line documents."""
+    from bisque_spark.functions.text import repetition_cols, repetition_stats
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nunique line"),
+        (2, "alpha beta\ngamma delta"),
+        (3, "spam ham spam ham spam ham spam ham"),
+        (4, ""),
+        (5, "one\n\none"),
+        (6, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = repetition_cols("text")
+    col_form = {
+        row["doc_id"]: (
+            round(row["a"], 9), round(row["b"], 9), round(row["c"], 9)
+        )
+        for row in docs.select(
+            "doc_id",
+            r["dup_line_frac"].alias("a"),
+            r["dup_line_char_frac"].alias("b"),
+            r["top_2gram_frac"].alias("c"),
+        ).collect()
+    }
+    rel_form = {
+        row["doc_id"]: (
+            round(row["dup_line_frac"], 9),
+            round(row["dup_line_char_frac"], 9),
+            round(row["top_2gram_frac"], 9),
+        )
+        for row in repetition_stats(docs).collect()
+    }
+    assert rel_form == col_form
