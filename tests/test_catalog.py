@@ -378,3 +378,38 @@ def test_compact_single_partition_scope(spark, cat):
     assert untouched <= after  # bucket=0 files carried by reference
     assert len([f for f in after if "bucket=1" in f]) == 1
     assert cat.read("cmp2").count() == 6
+
+
+def test_concurrent_commits_never_lose_updates(spark, cat):
+    """The commit lock serializes writers: interleaved appends from two
+    threads (plus an expire_snapshots in the middle, the r3-advice
+    lost-update race) must all land — final version = total commits,
+    every row present, no orphaned snapshot pointers."""
+    import threading
+
+    schema = "image_id string, caption string"
+    cat.create_table("conc", schema)
+    n_each = 4
+    errors = []
+
+    def writer(tag):
+        try:
+            for i in range(n_each):
+                cat.append(
+                    "conc",
+                    spark.createDataFrame([(f"{tag}-{i}", "x")], schema),
+                )
+                if tag == "a" and i == 1:
+                    cat.expire_snapshots("conc", keep_last=2)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    rows = {r["image_id"] for r in cat.read("conc").collect()}
+    assert rows == {f"{t}-{i}" for t in ("a", "b") for i in range(n_each)}
+    assert cat.version("conc") == 2 * n_each  # no lost version bumps
