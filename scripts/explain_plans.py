@@ -127,6 +127,48 @@ def filter_unseen_plan(spark):
     return filter_unseen(cand, shards, seen, dedup_key="url_hash")
 
 
+def diversity_sample_plan(spark):
+    """Plan for cluster-stratified sampling: the per-cell cap must be a
+    WindowGroupLimit (partitions pruned to k before full sort), no
+    Python in the rank path."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.similarity import diversity_sample
+
+    assigned = spark.range(5000).select(
+        F.col("id").cast("int").alias("vec_id"),
+        (F.col("id") % 16).cast("int").alias("cell"),
+    )
+    return diversity_sample(assigned, k_per_cell=10)
+
+
+def lm_logprob_plan(spark):
+    """Plan for the corpus-LM scorer: corpus total rides a broadcast
+    (single-row) join, the token-count join is a key equi-join, and
+    the whole plan is Python-free."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import corpus_unigram_logprob
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 50).cast("string")).alias("text"),
+    )
+    return corpus_unigram_logprob(docs)
+
+
+def cuckoo_membership_plan(spark):
+    """Plan for the cuckoo maybe-seen stage: same cogroup contract as
+    the bloom shards — the filter blob never rides the row plan."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.cuckoo import build_shards, mark_maybe_seen
+
+    cand = spark.range(1000).select(F.xxhash64("id").alias("url_hash"))
+    shards = build_shards(cand, buckets=8, nb=1 << 9)
+    return mark_maybe_seen(cand, shards, buckets=8)
+
+
 EXTRA_CHECKS = {
     "filter_unseen (bloom cogroup)": (
         filter_unseen_plan,
@@ -134,6 +176,28 @@ EXTRA_CHECKS = {
             ("FlatMapCoGroupsInPandas", "blob ships once per bucket group"),
             ("!BroadcastHashJoin.*bloom", "no per-row bloom join"),
             (r"!bloom#\d+\]\s*$", "bloom column never in the output row plan"),
+        ],
+    ),
+    "diversity_sample (stratified)": (
+        diversity_sample_plan,
+        [
+            ("WindowGroupLimit", "per-cell cap pruned inside the window"),
+            ("!EvalPython", "rank path pure JVM"),
+        ],
+    ),
+    "corpus_unigram_logprob (LM gate)": (
+        lm_logprob_plan,
+        [
+            ("BroadcastNestedLoopJoin|BroadcastExchange",
+             "corpus total broadcast, not shuffled"),
+            ("!EvalPython", "pure JVM"),
+        ],
+    ),
+    "cuckoo mark_maybe_seen (cogroup)": (
+        cuckoo_membership_plan,
+        [
+            ("FlatMapCoGroupsInPandas", "filter blob ships once per bucket"),
+            (r"!cuckoo#\d+\]\s*$", "cuckoo column never in the row plan"),
         ],
     ),
 }
