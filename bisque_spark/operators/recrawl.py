@@ -70,6 +70,10 @@ def due_for_refresh(
     (priority desc, url_hash) inside each host via window rank, the
     same shape as the politeness rank so AQE/salting applies
     unchanged.
+
+    Rows whose change_hint is absent from the policy table are
+    DROPPED by the inner join (an unknown bucket has no interval to
+    evaluate) — policies must cover the hint domain.
     """
     from pyspark.sql import Window
 

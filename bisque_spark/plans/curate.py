@@ -86,6 +86,8 @@ def run_curation(
     cutoff = lm.agg(
         F.expr(f"percentile(mean_logprob, {lm_drop_frac})")
     ).collect()[0][0]
+    if cutoff is None:  # nothing survived the earlier gates
+        cutoff = float("-inf")
     keep_lm = lm.where(F.col("mean_logprob") >= cutoff).select("doc_id")
     survivors = pin(gated.join(keep_lm, "doc_id"))
     counts["after_lm"] = survivors.count()
