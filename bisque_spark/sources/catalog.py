@@ -161,9 +161,30 @@ class ParquetCatalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
-        """Current snapshot, or TIME TRAVEL to any retained version."""
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Current snapshot, TIME TRAVEL to a retained version, or
+        ``as_of`` a unix timestamp (Iceberg's TIMESTAMP AS OF): the
+        newest retained snapshot committed at or before that instant."""
         m = self._read_manifest(name)
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            ts = m.get("committed_at", {})
+            eligible = [
+                int(v) for v in m["snapshots"]
+                if float(ts.get(str(v), 0.0)) <= as_of
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"table {name!r} has no snapshot committed at or "
+                    f"before {as_of}"
+                )
+            version = max(eligible)
         v = m["version"] if version is None else version
         try:
             files = m["snapshots"][str(v)]
@@ -221,6 +242,7 @@ class ParquetCatalog:
             prev = m["snapshots"][str(m["version"])]
             m["version"] += 1
             m["snapshots"][str(m["version"])] = prev + new_files
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
             self._write_manifest(name, m)
 
     def _read_files(self, name: str, schema: str, files: list[str]) -> DataFrame:
@@ -333,6 +355,7 @@ class ParquetCatalog:
             m["version"] += 1
             m["snapshots"][str(m["version"])] = sorted(carried) + new_files
             m["last_merge_ts"] = time.time()
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
             self._write_manifest(name, m)
 
     def compact(
@@ -384,6 +407,7 @@ class ParquetCatalog:
             self._record_stats(name, m, new_files)
             m["version"] += 1
             m["snapshots"][str(m["version"])] = sorted(carried) + new_files
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
             self._write_manifest(name, m)
             return m["version"]
 
@@ -426,6 +450,12 @@ class ParquetCatalog:
             # then physical deletes — a crash in between leaks files, never
             # corrupts a retained snapshot
             m["snapshots"] = {str(v): m["snapshots"][str(v)] for v in retained}
+            if m.get("committed_at"):
+                m["committed_at"] = {
+                    str(v): m["committed_at"][str(v)]
+                    for v in retained
+                    if str(v) in m["committed_at"]
+                }
             if m.get("file_stats"):
                 m["file_stats"] = {
                     f: st for f, st in m["file_stats"].items() if f in keep_files

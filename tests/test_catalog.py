@@ -413,3 +413,24 @@ def test_concurrent_commits_never_lose_updates(spark, cat):
     rows = {r["image_id"] for r in cat.read("conc").collect()}
     assert rows == {f"{t}-{i}" for t in ("a", "b") for i in range(n_each)}
     assert cat.version("conc") == 2 * n_each  # no lost version bumps
+
+
+def test_read_as_of_timestamp(spark, cat):
+    """Iceberg's TIMESTAMP AS OF: commit timestamps are recorded per
+    snapshot; as_of reads the newest snapshot at or before the
+    instant (legacy snapshots without timestamps read as epoch 0)."""
+    import time as _t
+
+    schema = "image_id string, caption string"
+    cat.create_table("tt", schema)
+    cat.append("tt", spark.createDataFrame([("a", "one")], schema))
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    cat.append("tt", spark.createDataFrame([("b", "two")], schema))
+
+    assert cat.read("tt", as_of=t_mid).count() == 1
+    assert cat.read("tt", as_of=_t.time()).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version OR as_of"):
+        cat.read("tt", version=1, as_of=t_mid)
