@@ -434,3 +434,86 @@ def test_read_as_of_timestamp(spark, cat):
 
     with _pytest.raises(ValueError, match="version OR as_of"):
         cat.read("tt", version=1, as_of=t_mid)
+
+
+def test_catalog_model_based_random_op_sequences(spark, tmp_path):
+    """Stateful model check: random append/merge/compact/expire
+    sequences applied to BOTH the ParquetCatalog and a pure-Python
+    model; after every op the live table equals the model, and every
+    retained snapshot equals the model's history. Deterministic op
+    stream (seeded) — catches cross-op interactions no single-op test
+    covers (e.g. merge-after-compact, expire-then-merge)."""
+    import random
+
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    rng = random.Random(1234)
+    cat = ParquetCatalog(spark, str(tmp_path / "model-wh"))
+    schema = "image_id string, bucket int, caption string"
+    cat.create_table("m", schema, partition_by=["bucket"],
+                     stats_key="image_id")
+
+    model: dict[str, tuple[int, str]] = {}  # key -> (bucket, caption)
+    history = {0: {}}
+    version = 0
+    next_key = 0
+
+    def fresh_rows(n, update_frac=0.5):
+        nonlocal next_key
+        rows = []
+        for _ in range(n):
+            if model and rng.random() < update_frac:
+                k = rng.choice(sorted(model))
+                b = model[k][0]  # key keeps its partition (CoW contract)
+            else:
+                k = f"k{next_key}"
+                next_key += 1
+                b = rng.randrange(3)
+            rows.append((k, b, f"c{rng.randrange(1000)}"))
+        # one row per key per batch (last-writer-wins inside a batch is
+        # ambiguous for both sides)
+        dedup = {}
+        for k, b, c in rows:
+            dedup[k] = (k, b, c)
+        return list(dedup.values())
+
+    for _step in range(12):
+        op = rng.choice(["append", "merge", "merge", "compact", "expire"])
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 4), update_frac=0.0)
+            cat.append("m", spark.createDataFrame(rows, schema))
+            for k, b, c in rows:
+                model[k] = (b, c)
+            version += 1
+        elif op == "merge":
+            rows = fresh_rows(rng.randrange(1, 4))
+            cat.merge_by_key("m", spark.createDataFrame(rows, schema),
+                             key="image_id")
+            for k, b, c in rows:
+                model[k] = (b, c)
+            version += 1
+        elif op == "compact":
+            new_v = cat.compact("m")
+            if new_v == version:  # empty table: no-op
+                continue
+            version = new_v
+        else:
+            cat.expire_snapshots("m", keep_last=2)
+            history_keys = sorted(history)
+            for v in history_keys[:-1]:
+                if v < version - 1:
+                    del history[v]
+        history[version] = dict(model)
+
+        got = {
+            r["image_id"]: (r["bucket"], r["caption"])
+            for r in cat.read("m").collect()
+        }
+        assert got == model, f"live mismatch after {op} (v{version})"
+        for v in cat.snapshots("m"):
+            if v in history:
+                snap = {
+                    r["image_id"]: (r["bucket"], r["caption"])
+                    for r in cat.read("m", version=v).collect()
+                }
+                assert snap == history[v], f"snapshot v{v} mismatch"
