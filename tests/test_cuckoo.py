@@ -142,3 +142,36 @@ def test_filter_unseen_cuckoo_crawl_shaped_chain(spark):
     got2 = {r["url_hash"] for r in out2.collect()}
     truth2 = truth | {r["url_hash"] for r in reopen.collect()}
     assert got2 == truth2
+
+
+def test_cuckoo_stateful_insert_delete_interleaving():
+    """Model check: random insert/delete interleavings vs a set model —
+    live keys are NEVER false-negative (the filter invariant), deleted
+    keys eventually drop (up to residual fp), and delete only ever
+    removes keys the model says were inserted (the documented cuckoo
+    contract)."""
+    import random
+
+    rng = random.Random(77)
+    nb = nb_for(800)
+    table = _empty_table(nb)
+    live: set[int] = set()
+    pool = [rng.getrandbits(63) for _ in range(600)]
+
+    for _step in range(40):
+        if live and rng.random() < 0.4:
+            victims = rng.sample(sorted(live), min(len(live), rng.randrange(1, 20)))
+            _delete_many(table, np.array(victims, dtype=np.uint64))
+            live -= set(victims)
+        else:
+            batch = rng.sample(pool, rng.randrange(1, 30))
+            _insert_many(table, np.array(batch, dtype=np.uint64))
+            live |= set(batch)
+        if live:
+            arr = np.array(sorted(live), dtype=np.uint64)
+            assert _contains_many(table, arr).all(), "false negative!"
+    # after deleting everything, residual membership is only fp noise
+    if live:
+        _delete_many(table, np.array(sorted(live), dtype=np.uint64))
+    probe = np.array(pool, dtype=np.uint64)
+    assert _contains_many(table, probe).mean() < 0.02
