@@ -9,11 +9,12 @@ Scope — deliberately the baseline profile only:
   4:2:0 chroma subsampling (the dominant real-world layout), standard
   quantization tables scaled by the IJG quality formula, standard
   Huffman tables, JFIF APP0.
-- decode: baseline sequential (SOF0), 8-bit, sampling factors up to
-  2×2 (covers 4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart intervals.
-  Progressive (SOF2), arithmetic, 12-bit, or >2× sampling streams
-  raise NotImplementedError — callers route that to an error column
-  (multimodal.py contract).
+- decode: baseline sequential (SOF0) with sampling factors up to
+  2×2 (4:4:4 / 4:2:2 / 4:2:0) and DRI/RSTn restart intervals, AND
+  progressive (SOF2) with spectral selection incl. general EOBRUN
+  (4:4:4/gray; successive approximation, subsampled progressive,
+  arithmetic, 12-bit, >2× sampling raise NotImplementedError —
+  callers route that to an error column, multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -454,6 +455,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan = None
     entropy = None
     dri = 0
+    progressive = False
+    prog_scans = []
     i = 2
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -492,7 +495,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("truncated SOF")
             prec = seg[0]
@@ -513,19 +517,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cid, tt >> 4, tt & 0x0F))
+            ss_, se_, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             # entropy-coded data: everything up to the next real marker.
             # Vectorized: locate 0xFF bytes with numpy, classify their
             # successors, then un-stuff with bytes.replace — the
@@ -545,8 +550,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             segs.append(data[j + off : j + end_rel])
             entropy = [sg.replace(b"\xff\x00", b"\xff") for sg in segs]
             i = j + end_rel
+            if progressive:
+                if dri:
+                    raise NotImplementedError("progressive with restarts")
+                prog_scans.append(
+                    ((scan, ss_, se_, ahal >> 4, ahal & 0x0F), entropy[0])
+                )
+                scan = None
+                entropy = None
             continue
         i += ln
+    if progressive:
+        if frame is None or not prog_scans:
+            raise ValueError("missing SOF2/scan data")
+        return _decode_progressive(frame, prog_scans, qt, dc_tabs, ac_tabs)
     if frame is None or scan is None or entropy is None:
         raise ValueError("missing SOF/SOS/entropy data")
 
@@ -714,3 +731,283 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+# ---- progressive (SOF2), spectral-selection scope ------------------------
+#
+# Encoder: DC scan first, then per-component AC band scans (T.81 G.1:
+# spectral selection; successive approximation Ah=Al=0). EOB is emitted
+# per block (EOBRUN r=0) so the standard baseline Huffman tables
+# suffice; the DECODER handles general EOBRUN (r up to 14) for files
+# from other encoders. Scope: 4:4:4 / grayscale (subsampled progressive
+# raises — honest NotImplementedError, same contract as 12-bit).
+
+_AC_BANDS = ((1, 5), (6, 63))
+
+
+class _ScanReader:
+    """Compact bit reader for progressive scans (one per scan; the
+    baseline MCU loop keeps its hand-inlined fast path)."""
+
+    __slots__ = ("data", "pos", "acc", "n", "pad")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        self.pad = 0
+
+    def _fill(self, want: int) -> None:
+        while self.n < want:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.pad += 1
+                if self.pad > 6:
+                    raise ValueError("truncated progressive scan")
+                self.acc = (self.acc << 8) | 0xFF
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def decode(self, luts) -> int:
+        sym_lut, len_lut = luts
+        self._fill(16)
+        idx = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = len_lut[idx]
+        if length == 0:
+            raise ValueError("invalid huffman code")
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return sym_lut[idx]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90
+) -> bytes:
+    """H×W×3 RGB (or grayscale) → progressive (SOF2) JFIF bytes,
+    spectral selection: one interleaved DC scan, then per-component AC
+    band scans. Identical quantized coefficients to the baseline
+    encoder at the same quality ⇒ identical decoded pixels."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    if gray:
+        planes = [px]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    if not gray:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+    quantized = []
+    for ci, plane in enumerate(planes):
+        qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        blocks, _, _ = _blockify(plane - 128.0)
+        coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
+        quantized.append(
+            np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        )
+    n_blocks = quantized[0].shape[0]
+
+    def as_list(d, size):
+        out = [(0, 0)] * size
+        for sym, cl in d.items():
+            out[sym] = cl
+        return out
+
+    dc_tabs = [as_list(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS), 16)]
+    ac_tabs = [as_list(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS), 256)]
+    if not gray:
+        dc_tabs.append(
+            as_list(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS), 16)
+        )
+        ac_tabs.append(
+            as_list(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS), 256)
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qts):
+        out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    specs = [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if not gray:
+        specs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in specs:
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0)
+    bw = _SymbolSink()
+    prev = [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            t = min(ci, 1)
+            dc = int(quantized[ci][b, 0])
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            if diff == 0:
+                s, vbits = 0, 0
+            else:
+                a = diff if diff > 0 else -diff
+                s = a.bit_length()
+                vbits = diff if diff > 0 else diff + (1 << s) - 1
+            code, length = dc_tabs[t][s]
+            bw.write(code, length)
+            bw.write(vbits, s)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 0, 0])  # Ss=0 Se=0 AhAl=0
+    out += _seg(0xDA, sos)
+    out += bw.pack()
+
+    # AC band scans: non-interleaved, one component per scan
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        for ss, se in _AC_BANDS:
+            bw = _SymbolSink()
+            for b in range(n_blocks):
+                co = quantized[ci][b].tolist()
+                last_nz = se
+                while last_nz >= ss and co[last_nz] == 0:
+                    last_nz -= 1
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    v = co[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_tabs[t][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    a = v if v > 0 else -v
+                    s = a.bit_length()
+                    vbits = v if v > 0 else v + (1 << s) - 1
+                    code, length = ac_tabs[t][(run << 4) | s]
+                    bw.write(code, length)
+                    bw.write(vbits, s)
+                    run = 0
+                if last_nz < se:
+                    code, length = ac_tabs[t][0x00]  # EOB (EOBRUN=1)
+                    bw.write(code, length)
+            sos = bytes([1, ci + 1, (t << 4) | t, ss, se, 0])
+            out += _seg(0xDA, sos)
+            out += bw.pack()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
+    """Progressive reconstruction: apply each scan's coefficients into
+    per-component (n_blocks, 64) zigzag arrays, then the shared
+    dequant + IDCT + color path. Spectral selection only (Ah != 0
+    raises); general EOBRUN handled."""
+    fh, fw, comps = frame
+    comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    if any((hi, vi) != (1, 1) for _, _, hi, vi in comps):
+        raise NotImplementedError("subsampled progressive")
+    bh, bw_ = -(-fh // 8), -(-fw // 8)
+    n_blocks = bh * bw_
+    coefs = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid, *_ in comps}
+
+    for (scan, ss, se, ah, al), entropy in scans:
+        if ah != 0 or al != 0:
+            raise NotImplementedError("successive approximation")
+        br = _ScanReader(entropy)
+        if ss == 0:  # DC scan (interleaved over the listed components)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            prev = {cid: 0 for cid, _, _ in scan}
+            for b in range(n_blocks):
+                for cid, td, _ta in scan:
+                    s = br.decode(dc_luts[td])
+                    v = br.bits(s)
+                    if s and v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    prev[cid] += v
+                    coefs[cid][b, 0] = prev[cid]
+        else:  # AC band scan: exactly one component
+            if len(scan) != 1:
+                raise ValueError("interleaved AC scan in progressive")
+            cid, _td, ta = scan[0]
+            luts = ac_luts[ta]
+            eobrun = 0
+            for b in range(n_blocks):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                block = coefs[cid][b]
+                k = ss
+                while k <= se:
+                    rs = br.decode(luts)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC band overflow")
+                    v = br.bits(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    block[k] = v
+                    k += 1
+
+    planes = []
+    for cid, *_ in comps:
+        tq = comp_info[cid][0]
+        q = qt[tq].astype(np.float64)
+        zz = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.einsum("ji,bjk,kl->bil", _D, zz * q, _D)
+        plane = (
+            blocks.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(plane[:fh, :fw] + 128.0)
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -77,7 +77,10 @@ def test_non_baseline_raises_not_implemented():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg(img, quality=90))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    data[sof + 1] = 0xC1  # SOF1 (extended sequential): unsupported
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    data[sof + 1] = 0xC9  # arithmetic coding: unsupported
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(data))
 
@@ -238,3 +241,88 @@ def test_decoder_contains_truncations_and_bitflips(seed, nflips):
             assert out.dtype == np.uint8 and out.ndim == 3
         except (ValueError, NotImplementedError):
             pass
+
+
+from bisque_spark.functions.jpeg import encode_jpeg_progressive
+
+
+def test_progressive_matches_baseline_pixels():
+    """Spectral-selection progressive shares the baseline's quantized
+    coefficients ⇒ decoded pixels must be IDENTICAL at equal quality
+    (RGB and grayscale), and the file really is SOF2."""
+    img = np.arange(40 * 56 * 3, dtype=np.uint8).reshape(40, 56, 3)
+    for q in (80, 95):
+        prog = encode_jpeg_progressive(img, q)
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        assert (decode_jpeg(prog) == decode_jpeg(encode_jpeg(img, q))).all()
+    g = img[..., 0]
+    assert (
+        decode_jpeg(encode_jpeg_progressive(g, 90))
+        == decode_jpeg(encode_jpeg(g, 90))
+    ).all()
+
+
+def test_progressive_general_eobrun_decodes():
+    """Our encoder emits only per-block EOB (EOBRUN r=0); real
+    progressive files use longer runs. Hand-assemble a grayscale
+    2-block file whose AC scan covers BOTH blocks with one EOBRUN
+    (r=1) symbol and check the decoder honors it."""
+    from bisque_spark.functions.jpeg import (
+        _QT_LUMA,
+        _SymbolSink,
+        _ZZ,
+        _quality_scale,
+        _seg,
+    )
+
+    h, w = 8, 16  # two 8x8 blocks
+    qt = _quality_scale(_QT_LUMA, 90)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qt[_ZZ].astype(np.uint8)))
+    out += _seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    # custom tables: DC symbol 0 at code '0'; AC symbol 0x10 (EOBRUN
+    # r=1) at code '0'
+    dc_bits = [1] + [0] * 15
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes([0]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(dc_bits) + bytes([0x10]))
+    # DC scan: two blocks, diff 0 each → symbol 0 twice
+    bw = _SymbolSink()
+    bw.write(0, 1)
+    bw.write(0, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += bw.pack()
+    # AC scan 1..63: ONE EOBRUN symbol (code '0') + 1 appended bit (0)
+    # → eobrun = 2^1 - 1 + 0 = 1 → covers current block + 1 more
+    bw = _SymbolSink()
+    bw.write(0, 1)  # huffman code for 0x10
+    bw.write(0, 1)  # appended run bit
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    out += bw.pack()
+    out += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    assert dec.shape == (8, 16, 3)
+    assert (dec == 128).all()  # all-zero coefficients → level-shift only
+
+
+def test_progressive_successive_approximation_rejected():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(img, 90))
+    # rewrite the FIRST AC scan's AhAl byte (the 2nd SOS): Al=1
+    sos_positions = []
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        sos_positions.append(i)
+    second = sos_positions[1]
+    ln = int.from_bytes(data[second + 2 : second + 4], "big")
+    data[second + 2 + ln - 1] = 0x01  # AhAl byte is the segment's last
+    with pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg(bytes(data))
