@@ -941,10 +941,16 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     for (scan, ss, se, ah, al), entropy in scans:
         if ah != 0 or al != 0:
             raise NotImplementedError("successive approximation")
+        for cid, _td, _ta in scan:
+            if cid not in coefs:
+                raise ValueError("scan references unknown component")
         br = _ScanReader(entropy)
         if ss == 0:  # DC scan (interleaved over the listed components)
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
+            for _cid, td, _ta in scan:
+                if td not in dc_luts:
+                    raise ValueError("scan references missing DC table")
             prev = {cid: 0 for cid, _, _ in scan}
             for b in range(n_blocks):
                 for cid, td, _ta in scan:
@@ -957,7 +963,11 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
         else:  # AC band scan: exactly one component
             if len(scan) != 1:
                 raise ValueError("interleaved AC scan in progressive")
+            if not (0 < ss <= se <= 63):
+                raise ValueError("bad spectral band")
             cid, _td, ta = scan[0]
+            if ta not in ac_luts:
+                raise ValueError("scan references missing AC table")
             luts = ac_luts[ta]
             eobrun = 0
             for b in range(n_blocks):
@@ -987,6 +997,8 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     planes = []
     for cid, *_ in comps:
         tq = comp_info[cid][0]
+        if tq not in qt:
+            raise ValueError("component references missing quant table")
         q = qt[tq].astype(np.float64)
         zz = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
         blocks = np.einsum("ji,bjk,kl->bil", _D, zz * q, _D)

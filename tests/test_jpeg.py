@@ -326,3 +326,22 @@ def test_progressive_successive_approximation_rejected():
     data[second + 2 + ln - 1] = 0x01  # AhAl byte is the segment's last
     with pytest.raises(NotImplementedError, match="successive"):
         decode_jpeg(bytes(data))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40))
+def test_progressive_decoder_contains_corruption(seed, nflips):
+    """Bit-flips/truncations of valid PROGRESSIVE streams are contained
+    (multi-scan walk, EOBRUN, band bounds) — same contract as the
+    baseline fuzzer."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(img, quality=80))
+    for _ in range(nflips):
+        data[rng.randint(2, len(data))] ^= 1 << rng.randint(8)
+    for payload in (bytes(data), bytes(data[: rng.randint(2, len(data))])):
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
