@@ -156,16 +156,25 @@ def synth_image(image_id: str) -> dict:
     elif fmt == "png":
         data = encode_png(pixels, w, h)
     else:
-        # REAL lossy rows (VERDICT r3 #5): baseline JPEG at quality 98
-        # — measured ~43.5 dB on this pixel class, clearing the
+        # REAL lossy rows (VERDICT r3 #5): JPEG at quality 98 —
+        # measured ~43.5 dB on this pixel class, clearing the
         # input_hint's PSNR >= 40 dB invariant with margin while
-        # remaining genuinely lossy
+        # remaining genuinely lossy. A third of the jpeg rows are
+        # PROGRESSIVE (SOF2, identical quantized coefficients ⇒
+        # identical pixels), so both decode profiles run through the
+        # real crawl/feature pipeline, not just unit tests.
         import numpy as np
 
-        from bisque_spark.functions.jpeg import encode_jpeg
+        from bisque_spark.functions.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
-        data = encode_jpeg(arr, quality=98)
+        if rng.u01() < 1 / 3:
+            data = encode_jpeg_progressive(arr, quality=98)
+        else:
+            data = encode_jpeg(arr, quality=98)
     return {
         "bytes": data,
         "w": w,

@@ -345,3 +345,23 @@ def test_progressive_decoder_contains_corruption(seed, nflips):
             assert out.dtype == np.uint8 and out.ndim == 3
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_synth_world_plants_progressive_rows_too():
+    """The fmt='jpeg' mix includes SOF2 files; both profiles decode
+    through decode_image and meet the PSNR gate."""
+    profiles = {"baseline": 0, "progressive": 0}
+    for i in range(60):
+        meta = synth_image(f"prog-hunt-{i}")
+        if meta["fmt"] != "jpeg":
+            continue
+        kind = "progressive" if b"\xff\xc2" in bytes(meta["bytes"]) else "baseline"
+        profiles[kind] += 1
+        px = np.frombuffer(
+            image_pixels(f"prog-hunt-{i}", meta["w"], meta["h"]), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        dec = np.frombuffer(
+            decode_image(meta["bytes"], "jpeg"), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        assert psnr(px, dec) >= 40.0
+    assert profiles["baseline"] >= 3 and profiles["progressive"] >= 3
