@@ -861,13 +861,18 @@ def encode_jpeg_progressive(
     for tc_th, bits, vals in specs:
         out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
 
+    # one list conversion per component, shared by the DC scan and
+    # BOTH AC band scans (numpy scalar indexing in the block loops was
+    # ~1.5 s of crawl wall at sf0.1)
+    rows = [qz.tolist() for qz in quantized]
+
     # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0)
     bw = _SymbolSink()
     prev = [0] * ncomp
     for b in range(n_blocks):
         for ci in range(ncomp):
             t = min(ci, 1)
-            dc = int(quantized[ci][b, 0])
+            dc = rows[ci][b][0]
             diff = dc - prev[ci]
             prev[ci] = dc
             if diff == 0:
@@ -892,8 +897,9 @@ def encode_jpeg_progressive(
         t = min(ci, 1)
         for ss, se in _AC_BANDS:
             bw = _SymbolSink()
+            comp_rows = rows[ci]
             for b in range(n_blocks):
-                co = quantized[ci][b].tolist()
+                co = comp_rows[b]
                 last_nz = se
                 while last_nz >= ss and co[last_nz] == 0:
                     last_nz -= 1
