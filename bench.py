@@ -130,6 +130,17 @@ def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
 def bench_once() -> dict:
     from bisque_spark.session import get_spark
 
+    # record machine load BEFORE the run: the repo's bench protocol
+    # requires an idle box (±40% single-run swing otherwise — the
+    # BENCH_r04 relational-regression lesson); a loaded-machine artifact
+    # should be self-diagnosing from its own JSON
+    loadavg = [round(x, 2) for x in os.getloadavg()]
+    if loadavg[0] > 2.0:
+        print(
+            f"WARNING: 1-min loadavg {loadavg[0]} > 2 — bench numbers "
+            "will be unreliable (protocol: idle machine)",
+            flush=True,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -169,6 +180,7 @@ def bench_once() -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
         "cpus": cpus,
+        "loadavg": loadavg,
     }
 
 

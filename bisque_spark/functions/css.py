@@ -518,7 +518,12 @@ def _matches_simple(node: dict, simple: Simple, idx: _DocIndex) -> bool:
         ):
             # no ns context: qualified-name match (HTML path, unchanged)
             # plus namespace-agnostic local-name match for prefixed
-            # elements (soupsieve's XML behavior without a default ns)
+            # elements (soupsieve's XML behavior without a default ns).
+            # DOCUMENTED DEVIATION (CLAUDE.md oracle-fidelity traps):
+            # soupsieve-on-html.parser keeps `o:p` as a literal name so
+            # `p` does NOT match it in HTML documents; this engine has
+            # one parse mode and applies the XML local-name rule to all
+            # documents. Do not "fix" one branch without the other.
             return False
     attrs = node["attrs"] or {}
     for i in simple.ids:

@@ -523,6 +523,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not progressive and entropy is not None:
+                # a legal baseline-sequential file MAY carry several
+                # non-interleaved scans (T.81 B.2.1); decoding only the
+                # last would yield a silently wrong image, so route to
+                # the error column like other unsupported profiles
+                raise NotImplementedError(
+                    "multi-scan baseline (non-interleaved scans)"
+                )
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS")
             ns = seg[0]

@@ -57,34 +57,38 @@ def link_rank(
     ed.count()
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iters):
+    for _i in range(iters):
         contrib = (
             ed.join(ranks, ed["s"] == ranks["id"])
             .select(F.col("d").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by vertices with no out-links
-        linked_mass = (
-            ranks.join(out_deg, ranks["id"] == out_deg["s"], "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass (rank held by vertices with no out-links) stays
+        # IN-PLAN as a broadcast one-row aggregate (the
+        # text.corpus_unigram_logprob pattern) instead of a per-iteration
+        # driver collect(): each step is exactly one Spark action, no
+        # driver synchronization mid-iteration. dangling = 1 - linked
+        # because ranks is a probability distribution at every step.
+        linked = (
+            ranks.join(out_deg.select("s"), ranks["id"] == F.col("s"), "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__linked"))
         )
-        dangling = 1.0 - linked_mass
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(linked))
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.lit(1.0) - F.col("__linked")) / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
-        if i % 3 == 2:
-            # truncate the growing join lineage (same localCheckpoint
-            # pattern as cluster.connected_components)
-            ranks = ranks.localCheckpoint(eager=True)
+        # truncate lineage EVERY iteration: the rank state feeds both the
+        # contrib join and the dangling aggregate, so un-checkpointed
+        # lineage would double per step (2^iters plan leaves). One eager
+        # checkpoint == the iteration's single action.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -80,15 +80,24 @@ def run_curation(
     )
     counts["after_quality"] = gated.count()
 
-    # 4: LM junk tail — drop the lowest lm_drop_frac by mean log-prob
-    # (deterministic cutoff via percentile over the gated corpus)
-    lm = corpus_unigram_logprob(gated)
+    # 4: LM junk tail — drop the lowest lm_drop_frac by mean log-prob.
+    # The percentile cutoff stays IN-PLAN as a broadcast one-row
+    # aggregate (the corpus_unigram_logprob pattern) — no driver-side
+    # scalar collect, stage 4 stays lazy until the stage-5 action.
+    # NULL percentile (nothing survived the earlier gates) → -inf keeps
+    # the empty frame empty.
+    lm = pin(corpus_unigram_logprob(gated))
     cutoff = lm.agg(
-        F.expr(f"percentile(mean_logprob, {lm_drop_frac})")
-    ).collect()[0][0]
-    if cutoff is None:  # nothing survived the earlier gates
-        cutoff = float("-inf")
-    keep_lm = lm.where(F.col("mean_logprob") >= cutoff).select("doc_id")
+        F.coalesce(
+            F.expr(f"percentile(mean_logprob, {lm_drop_frac})"),
+            F.lit(float("-inf")),
+        ).alias("__lm_cutoff")
+    )
+    keep_lm = (
+        lm.crossJoin(F.broadcast(cutoff))
+        .where(F.col("mean_logprob") >= F.col("__lm_cutoff"))
+        .select("doc_id")
+    )
     survivors = pin(gated.join(keep_lm, "doc_id"))
     counts["after_lm"] = survivors.count()
 
@@ -116,7 +125,11 @@ def run_curation(
     no_embedding = kept.select("doc_id").join(
         emb.select("doc_id"), "doc_id", "left_anti"
     )
-    final_ids = sampled_ids.unionByName(no_embedding)
+    # distinct: the sink upsert must be keyed uniquely even if the
+    # embedding table carries >1 row per vec_id (duplicate cell
+    # assignments would otherwise duplicate kept rows through the join
+    # and break the idempotent-sink contract)
+    final_ids = sampled_ids.unionByName(no_embedding).distinct()
     final = kept.join(final_ids, "doc_id")
     counts["final"] = final.count()
 

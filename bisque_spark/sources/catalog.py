@@ -254,7 +254,12 @@ class ParquetCatalog:
         )
 
     def _hit_files(
-        self, name: str, m: dict, files: list[str], df: DataFrame
+        self,
+        name: str,
+        m: dict,
+        files: list[str],
+        df: DataFrame,
+        merge_key: str | None = None,
     ) -> list[str]:
         """Data files a MERGE must rewrite: partition values intersect
         df's partitions AND (when the table records per-file key stats)
@@ -267,6 +272,13 @@ class ParquetCatalog:
         stats are conservatively hit (legacy commits)."""
         parts = m["partition_by"]
         key = m.get("stats_key")
+        # per-file [min,max] ranges are recorded on stats_key, so they
+        # can only prove a file disjoint from the incoming rows when the
+        # MERGE key is that same column; merging on any other key falls
+        # back to partition-only pruning (stats-disjoint files could
+        # still hold rows whose merge key collides with incoming rows)
+        if merge_key is not None and key != merge_key:
+            key = None
         aggs = (
             [F.min(key).alias("__lo"), F.max(key).alias("__hi")]
             if key
@@ -334,8 +346,8 @@ class ParquetCatalog:
             parts = m["partition_by"]
             # pruning works with partition values, per-file key stats,
             # or both (an unpartitioned table with stats still prunes)
-            if prune and prev and (parts or m.get("stats_key")):
-                hit = self._hit_files(name, m, prev, df)
+            if prune and prev and (parts or m.get("stats_key") == key):
+                hit = self._hit_files(name, m, prev, df, merge_key=key)
                 carried = [f for f in prev if f not in set(hit)]
                 if hit:
                     survivors = self._read_files(name, m["schema"], hit).join(

@@ -292,6 +292,30 @@ def test_merge_cow_unpartitioned_stats_only(spark, cat):
     assert rows == {"a1": "x", "a2": "y", "m1": "X"}
 
 
+def test_merge_on_non_stats_key_skips_stats_pruning(spark, cat):
+    """Merging on a key DIFFERENT from the table's stats_key must not
+    use the stats ranges for pruning: a stats-disjoint file can still
+    hold a row whose MERGE-key value collides with an incoming row, and
+    carrying it by reference would commit duplicate keys."""
+    schema = "image_id string, caption string"
+    cat.create_table("xkey", schema, stats_key="image_id")
+    # file A: image_id range [a1,a2] — stats-disjoint from the delta's
+    # image_id m1, but caption "x" collides with the incoming caption
+    cat.append("xkey", spark.createDataFrame(
+        [("a1", "x"), ("a2", "y")], schema).coalesce(1))
+    cat.append("xkey", spark.createDataFrame(
+        [("m1", "z")], schema).coalesce(1))
+    cat.merge_by_key(
+        "xkey", spark.createDataFrame([("m9", "x")], schema), key="caption"
+    )
+    rows = cat.read("xkey").collect()
+    caps = [r["caption"] for r in rows]
+    assert sorted(caps) == ["x", "y", "z"]  # exactly one "x" survives
+    assert {(r["image_id"], r["caption"]) for r in rows} == {
+        ("m9", "x"), ("a2", "y"), ("m1", "z"),
+    }
+
+
 def test_merge_cow_null_key_stats_are_conservative(spark, cat):
     """Files whose stats_key is all-null (min/max = None) must be
     conservatively rewritten, not crash the range check."""

@@ -50,3 +50,22 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert out2.count() == counts["final"]
     assert {r["doc_id"] for r in out2.select("doc_id").collect()} == ids1
     assert counts2["catalog_version"] == 2  # a new snapshot, same rows
+
+
+def test_curation_duplicate_embedding_rows_never_duplicate_docs(
+    spark, tmp_path
+):
+    """An embeddings table with >1 row per vec_id must not duplicate
+    kept docs through the diversity-sample join (final_ids distinct)."""
+    docs, embs = _tables(spark)
+    dup_embs = embs.unionByName(embs.limit(40))
+    wd = str(tmp_path / "cat_dup")
+    counts = run_curation(spark, docs, dup_embs, wd, sample_per_cell=10)
+
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    out = ParquetCatalog(spark, wd).read("curated")
+    assert out.count() == counts["final"]
+    assert (
+        out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    )

@@ -85,6 +85,19 @@ def test_non_baseline_raises_not_implemented():
         decode_jpeg(bytes(data))
 
 
+def test_multi_scan_baseline_raises_not_implemented():
+    """A second SOS in a non-progressive frame must raise (decoding
+    only the last scan would be a silently wrong image)."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=90)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0 and data[-2:] == b"\xff\xd9"
+    # splice a copy of the first scan (SOS..entropy) before EOI
+    doctored = data[:-2] + data[sos:-2] + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+        decode_jpeg(doctored)
+
+
 def test_truncated_stream_raises_value_error():
     img = _gradient(16, 16)
     data = encode_jpeg(img, quality=90)
