@@ -58,37 +58,69 @@ def link_rank(
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _i in range(iters):
-        contrib = (
-            ed.join(ranks, ed["s"] == ranks["id"])
-            .select(F.col("d").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # dangling mass (rank held by vertices with no out-links) stays
-        # IN-PLAN as a broadcast one-row aggregate (the
-        # text.corpus_unigram_logprob pattern) instead of a per-iteration
-        # driver collect(): each step is exactly one Spark action, no
-        # driver synchronization mid-iteration. dangling = 1 - linked
-        # because ranks is a probability distribution at every step.
-        linked = (
-            ranks.join(out_deg.select("s"), ranks["id"] == F.col("s"), "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__linked"))
-        )
-        ranks = (
-            verts.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(linked))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.lit(1.0) - F.col("__linked")) / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
         # truncate lineage EVERY iteration: the rank state feeds both the
         # contrib join and the dangling aggregate, so un-checkpointed
         # lineage would double per step (2^iters plan leaves). One eager
         # checkpoint == the iteration's single action.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = rank_step(verts, ed, out_deg, ranks, damping, n).localCheckpoint(
+            eager=True
+        )
     return ranks
+
+
+def rank_step(
+    verts: DataFrame,
+    ed: DataFrame,
+    out_deg: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+    n: int,
+) -> DataFrame:
+    """One power-iteration step as a SINGLE lazy plan (plan-checked by
+    scripts/explain_plans.py). Dangling mass (rank held by vertices
+    with no out-links) stays IN-PLAN as a broadcast one-row aggregate —
+    the text.corpus_unigram_logprob pattern — instead of a per-iteration
+    driver collect(): no driver synchronization mid-iteration.
+    dangling = 1 - linked because ranks is a probability distribution
+    at every step."""
+    contrib = (
+        ed.join(ranks, ed["s"] == ranks["id"])
+        .select(F.col("d").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    linked = (
+        ranks.join(out_deg.select("s"), ranks["id"] == F.col("s"), "left_semi")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__linked"))
+    )
+    return (
+        verts.join(contrib, "id", "left")
+        .crossJoin(F.broadcast(linked))
+        .select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * (F.lit(1.0) - F.col("__linked")) / F.lit(float(n))
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
+
+
+def authority_from_crawl(
+    spark,
+    result: dict,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """A finished crawl's committed link graph → (url_hash, rank):
+    the authority table run_crawl/with_frontier_columns consume to
+    reorder the NEXT crawl's frontier (the Cho/Garcia-Molina/Page
+    recrawl-ordering loop). Deterministic — a pure function of the
+    crawl's own committed state."""
+    from bisque_spark.plans.crawl import read_links
+
+    edges = read_links(spark, result)
+    return link_rank(
+        edges, src="url_hash", dst="dst_hash", damping=damping, iters=iters
+    ).select(F.col("id").alias("url_hash"), "rank")

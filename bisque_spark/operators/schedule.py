@@ -36,14 +36,48 @@ from bisque_spark.functions.urlnorm import host_col
 N_HOST_SALTS = 8
 
 
-def with_frontier_columns(df: DataFrame, epoch: int, depth_col: str = "depth") -> DataFrame:
-    """url (canonical) → + url_hash, host, priority, epoch columns."""
-    return (
+def with_frontier_columns(
+    df: DataFrame,
+    epoch: int,
+    depth_col: str = "depth",
+    authority: DataFrame | None = None,
+    authority_weight: float = 1.0,
+) -> DataFrame:
+    """url (canonical) → + url_hash, host, priority, epoch columns.
+
+    ``authority`` (url_hash, rank — e.g. linkrank.authority_from_crawl)
+    turns the BFS priority into the authority-weighted crawl ordering
+    of Cho/Garcia-Molina/Page: priority = -depth + weight·rank, rank
+    defaulting to 0 for URLs outside the rank table. Determinism
+    contract: the float arithmetic is (-depth) + (weight·rank) in that
+    exact association on both the Spark and oracle sides, so orders
+    compare bit-equal. The join keys on url_hash — the partitioning key
+    every engine table shares — and is left to AQE to broadcast when
+    the rank table is small; at 10^10 URLs it is a co-partitioned
+    shuffle join, not a broadcast.
+    """
+    out = (
         df.withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host", host_col("url"))
         .withColumn("priority", -F.col(depth_col).cast("double"))
         .withColumn("epoch", F.lit(epoch))
     )
+    if authority is not None:
+        out = (
+            out.join(
+                authority.select("url_hash", F.col("rank").alias("__auth")),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "priority",
+                F.col("priority")
+                + F.lit(float(authority_weight))
+                * F.coalesce(F.col("__auth"), F.lit(0.0)),
+            )
+            .drop("__auth")
+        )
+    return out
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:

@@ -85,6 +85,9 @@ _JUNCTION_COLS = [
     # bloom shard-delta slice
     ("bucket", "int"),
     ("bloom", "binary"),
+    # link-graph slice: url_hash (src page) → dst_hash, raw extraction
+    # output BEFORE robots/dedup — the input to link-authority ranking
+    ("dst_hash", "bigint"),
 ]
 
 
@@ -224,11 +227,20 @@ def run_crawl(
     resume: bool = False,
     n_buckets: int = 32,
     compact_every: int = 16,
+    authority: DataFrame | None = None,
+    authority_weight: float = 1.0,
 ) -> dict:
     """Run (or resume) the crawl; returns summary dict with table paths.
 
     Output tables under ``workdir``: images/, order/, lineage/ plus
     per-epoch state snapshots for resume.
+
+    ``authority`` (url_hash, rank) reweights frontier priority to
+    -depth + weight·rank (see schedule.with_frontier_columns) — the
+    recrawl loop: crawl N's committed link graph (read_links) feeds
+    linkrank.authority_from_crawl, whose output orders crawl N+1.
+    Determinism: authority is itself a deterministic table; a resumed
+    crawl must be handed the SAME table to stay bit-identical.
     """
     from bisque_spark.functions.robots import fetch_robots
     from bisque_spark.functions.urlnorm import with_canonical
@@ -272,7 +284,8 @@ def run_crawl(
         raw = spark.createDataFrame(seeds, schema="url string, rank int")
         canon = with_canonical(raw).where(F.col("url").isNotNull())
         seeded = with_frontier_columns(
-            canon.withColumn("depth", F.lit(0)).drop("rank"), epoch=0
+            canon.withColumn("depth", F.lit(0)).drop("rank"), epoch=0,
+            authority=authority, authority_weight=authority_weight,
         ).dropDuplicates(["url_hash"])
         seeded = apply_robots(seeded, robots)
         seed_path = os.path.join(workdir, "frontier_seed")
@@ -346,7 +359,8 @@ def run_crawl(
         # old dropDuplicates(["url"]) shuffle stage is folded away
         links = extracted.select(F.explode("links").alias("url"))
         candidates = with_frontier_columns(
-            links.withColumn("depth", F.lit(epoch + 1)), epoch=epoch + 1
+            links.withColumn("depth", F.lit(epoch + 1)), epoch=epoch + 1,
+            authority=authority, authority_weight=authority_weight,
         )
         candidates = apply_robots(candidates, robots)
         # persisted: the shard-delta job (the one other sink) reuses the
@@ -382,12 +396,12 @@ def run_crawl(
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------
-        # ONE junction write job carries all six per-epoch slices —
+        # ONE junction write job carries all seven per-epoch slices —
         # frontier + order log + seen delta + images + bloom shard
-        # delta + the lineage counters (a global-agg slice computed in
-        # the same job — no separate .first() job). The _COMMIT marker
-        # is only written after the write returns — epoch-commit
-        # atomicity unchanged.
+        # delta + link-graph edges + the lineage counters (a global-agg
+        # slice computed in the same job — no separate .first() job).
+        # The _COMMIT marker is only written after the write returns —
+        # epoch-commit atomicity unchanged.
         d = _epoch_dir(workdir, epoch)
         lineage_row = extracted.agg(
             F.count(F.lit(1)).alias("n_scheduled"),
@@ -408,12 +422,24 @@ def run_crawl(
         # a core-proportional handful; images keeps full parallelism
         # (it carries the bytes and the materialize UDF).
         small = max(4, spark.sparkContext.defaultParallelism // 8)
+        # link-graph slice: (src url_hash → dst_hash) straight off the
+        # cached fetch+extract output — the raw observed graph (before
+        # robots/dedup), which is what link-authority ranking consumes
+        edges = (
+            extracted.select(
+                F.xxhash64("url").alias("url_hash"),
+                F.explode("links").alias("__dst"),
+            )
+            .withColumn("dst_hash", F.xxhash64("__dst"))
+            .select("url_hash", "dst_hash")
+        )
         junction = (
             _junction_slice(next_frontier.coalesce(small), "frontier")
             .unionByName(_junction_slice(order_log.coalesce(small), "order"))
             .unionByName(_junction_slice(new_hashes.coalesce(small), "seen"))
             .unionByName(_junction_slice(images, "images"))
             .unionByName(_junction_slice(shard_delta.coalesce(small), "shards"))
+            .unionByName(_junction_slice(edges.coalesce(small), "links"))
             .unionByName(_junction_slice(lineage_row, "lineage"))
         )
         junction.write.mode("overwrite").partitionBy("table").parquet(
@@ -491,6 +517,11 @@ def run_crawl(
             for e in range(epoch)
             if os.path.exists(_junction_path(workdir, e, "images"))
         ],
+        "links_paths": [
+            _junction_path(workdir, e, "links")
+            for e in range(epoch)
+            if os.path.exists(_junction_path(workdir, e, "links"))
+        ],
     }
 
 
@@ -507,3 +538,11 @@ def read_images(spark: SparkSession, result: dict) -> DataFrame:
 def read_seen(spark: SparkSession, result: dict) -> DataFrame:
     last = latest_complete_epoch(result["workdir"])
     return _read_seen_union(spark, result["workdir"], last)
+
+
+def read_links(spark: SparkSession, result: dict) -> DataFrame:
+    """The crawl's committed link graph: (url_hash src → dst_hash)
+    across all epochs — the edge table linkrank.link_rank consumes."""
+    return spark.read.parquet(*result["links_paths"]).select(
+        "url_hash", "dst_hash"
+    )

@@ -70,11 +70,26 @@ def _disallowed(url: str, disallow_by_host: dict) -> bool:
     return False
 
 
-def crawl_oracle(world: World, seeds: list[tuple[str, int]], max_epochs: int = 10):
+def crawl_oracle(
+    world: World,
+    seeds: list[tuple[str, int]],
+    max_epochs: int = 10,
+    authority: dict[int, float] | None = None,
+    authority_weight: float = 1.0,
+):
     """→ dict(order=[(epoch, host, host_rank, priority, url_hash, url)],
-    seen=set[int], images=[dict])"""
+    seen=set[int], images=[dict], links=[(src_hash, dst_hash)]).
+
+    ``authority`` {url_hash: rank} mirrors the engine's authority-
+    weighted priority: -depth + weight·rank, same float association."""
     robots = {r["host"]: r for r in robots_rows(world)}
     disallow_by_host = {h: r["disallow"] for h, r in robots.items()}
+
+    def _priority(depth: int, h: int) -> float:
+        p = -float(depth)
+        if authority is not None:
+            p = p + authority_weight * authority.get(h, 0.0)
+        return p
 
     frontier: list[dict] = []
     seen: set[int] = set()
@@ -94,12 +109,13 @@ def crawl_oracle(world: World, seeds: list[tuple[str, int]], max_epochs: int = 1
                         "url_hash": h,
                         "host": url_host(canon),
                         "depth": 0,
-                        "priority": -0.0,
+                        "priority": _priority(0, h),
                     }
                 )
 
     order = []
     images_out = []
+    links_out: list[tuple[int, int]] = []
     epoch = 0
     while epoch < max_epochs and frontier:
         by_host: dict[str, list[dict]] = {}
@@ -139,8 +155,12 @@ def crawl_oracle(world: World, seeds: list[tuple[str, int]], max_epochs: int = 1
                         "phash": meta["phash"],
                     }
                 )
+            src_hash = row["url_hash"]
             for canon in links:
                 h = xxhash64_str(canon)
+                # raw observed edge (before robots/dedup) — mirrors the
+                # engine's committed link-graph slice
+                links_out.append((src_hash, h))
                 if h in seen or h in discovered:
                     continue
                 if _disallowed(canon, disallow_by_host):
@@ -150,11 +170,17 @@ def crawl_oracle(world: World, seeds: list[tuple[str, int]], max_epochs: int = 1
                     "url_hash": h,
                     "host": url_host(canon),
                     "depth": epoch + 1,
-                    "priority": -float(epoch + 1),
+                    "priority": _priority(epoch + 1, h),
                 }
         for h, row in discovered.items():
             seen.add(h)
         frontier = deferred + list(discovered.values())
         epoch += 1
 
-    return {"order": order, "seen": seen, "images": images_out, "epochs": epoch}
+    return {
+        "order": order,
+        "seen": seen,
+        "images": images_out,
+        "links": links_out,
+        "epochs": epoch,
+    }
