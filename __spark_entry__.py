@@ -492,8 +492,11 @@ def _q_image_phash_pairs(spark, sf_dir):
     (shared with SimHash). Content derives from image_id, so the 120
     rows planted over 40 distinct contents (unique labels ride the
     caption column through materialization) yield exactly the
-    byte-identical triples as hamming-0 pairs. Rows-only; the banding
-    recall contract is pinned in test_dedup/test_multimodal."""
+    byte-identical triples as hamming-0 pairs. Hash-graded: the DuckDB
+    oracle does the exact all-pairs bit_count(xor) <= k join over the
+    SAME 120 phashes (VALUES literals from the deterministic synth
+    fixture) — full recall of the banding is the pigeonhole guarantee,
+    additionally pinned in test_dedup/test_multimodal."""
     from bisque_spark.operators.extract import materialize_images_batches
     from bisque_spark.operators.multimodal import phash_near_pairs
 
@@ -511,7 +514,9 @@ def _q_image_phash_pairs(spark, sf_dir):
         "caption string, phash long",
     )
     relabeled = images.withColumn("image_id", F.col("caption"))
-    return phash_near_pairs(relabeled, max_hamming=8)
+    return phash_near_pairs(relabeled, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def _q_audio_features(spark, sf_dir):
@@ -1203,19 +1208,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "active_users_both_types": _q_active_users_both_types,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
-        # -- 11 rows-only (oracle = reference/numpy via pytest) ------------
+        "image_phash_pairs": _q_image_phash_pairs,
+        # -- 10 rows-only (oracle = reference/numpy via pytest) ------------
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "extract_captions": _q_extract_captions,
         "image_features": _q_image_features,
-        "image_phash_pairs": _q_image_phash_pairs,
         "audio_features": _q_audio_features,
         "validate_images": _q_validate_images,
         "parse_pipeline": _q_parse_pipeline,
         "emb_ivf_topk": _q_emb_ivf_topk,
     }
+
+
+def _phash_pairs_oracle_sql() -> str:
+    """Exact all-pairs Hamming oracle for _q_image_phash_pairs: the
+    same 120 (caption-label, phash) rows the Spark query materializes,
+    embedded as VALUES literals — the phash is a pure function of
+    image_id via the deterministic synth fixture, computed driver-side
+    with no Spark. bit_count(xor(..)) <= 8 over all pairs is the exact
+    reference the pigeonhole banding must fully recall."""
+    from bisque_spark.synth import synth_image
+
+    rows = []
+    for i in range(120):
+        ph = synth_image(f"img-{i % 40}")["phash"]
+        rows.append(f"('u{i:03d}', CAST({ph} AS BIGINT))")
+    vals = ",\n                   ".join(rows)
+    return f"""
+            WITH ph(img, ph) AS (
+                VALUES {vals}
+            )
+            SELECT a.img AS id_a, b.img AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+            FROM ph a JOIN ph b ON a.img < b.img
+            WHERE bit_count(xor(a.ph, b.ph)) <= 8
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1407,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id FROM comps WHERE id != cluster_id
             )
         """,
+        "image_phash_pairs": _phash_pairs_oracle_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
