@@ -12,9 +12,11 @@ Scope — deliberately the baseline profile only:
 - decode: baseline sequential (SOF0) with sampling factors up to
   2×2 (4:4:4 / 4:2:2 / 4:2:0) and DRI/RSTn restart intervals, AND
   progressive (SOF2) with spectral selection incl. general EOBRUN
-  (4:4:4/gray; successive approximation, subsampled progressive,
-  arithmetic, 12-bit, >2× sampling raise NotImplementedError —
-  callers route that to an error column, multimodal.py contract).
+  plus successive approximation (DC and AC refinement passes, T.81
+  G.1.2.2/G.1.2.3 — the dominant real-web progressive layout)
+  (4:4:4/gray; subsampled progressive, arithmetic, 12-bit, >2×
+  sampling, multi-scan baseline raise NotImplementedError — callers
+  route that to an error column, multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -741,14 +743,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
 
 
-# ---- progressive (SOF2), spectral-selection scope ------------------------
+# ---- progressive (SOF2): spectral selection + successive approx ----------
 #
 # Encoder: DC scan first, then per-component AC band scans (T.81 G.1:
-# spectral selection; successive approximation Ah=Al=0). EOB is emitted
-# per block (EOBRUN r=0) so the standard baseline Huffman tables
-# suffice; the DECODER handles general EOBRUN (r up to 14) for files
-# from other encoders. Scope: 4:4:4 / grayscale (subsampled progressive
-# raises — honest NotImplementedError, same contract as 12-bit).
+# spectral selection); with successive=True all first passes run at
+# Al=1 followed by Ah=1→Al=0 DC/AC refinement scans (G.1.2.2/G.1.2.3).
+# EOB is emitted per block (EOBRUN r=0) so the standard baseline
+# Huffman tables suffice; the DECODER handles general EOBRUN (r up to
+# 14) and arbitrary conforming Ah/Al chains for files from other
+# encoders. Scope: 4:4:4 / grayscale (subsampled progressive raises —
+# honest NotImplementedError, same contract as 12-bit).
 
 _AC_BANDS = ((1, 5), (6, 63))
 
@@ -800,12 +804,16 @@ class _ScanReader:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90
+    pixels: np.ndarray, quality: int = 90, successive: bool = False
 ) -> bytes:
     """H×W×3 RGB (or grayscale) → progressive (SOF2) JFIF bytes,
     spectral selection: one interleaved DC scan, then per-component AC
-    band scans. Identical quantized coefficients to the baseline
-    encoder at the same quality ⇒ identical decoded pixels."""
+    band scans. ``successive=True`` adds successive approximation
+    (T.81 G.1.2.2/G.1.2.3): every first pass sends coefficients at
+    Al=1 precision, followed by Ah=1→Al=0 refinement scans carrying
+    the final magnitude bit — the dominant real-web progressive
+    layout. Identical quantized coefficients to the baseline encoder
+    at the same quality ⇒ identical decoded pixels either way."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -873,14 +881,16 @@ def encode_jpeg_progressive(
     # BOTH AC band scans (numpy scalar indexing in the block loops was
     # ~1.5 s of crawl wall at sf0.1)
     rows = [qz.tolist() for qz in quantized]
+    al0 = 1 if successive else 0  # first-pass point transform
 
-    # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0)
+    # scan 1: interleaved DC first pass (Ss=Se=0, Ah=0, Al=al0) —
+    # DPCM runs in the >>Al domain (arithmetic shift, G.1.2.1)
     bw = _SymbolSink()
     prev = [0] * ncomp
     for b in range(n_blocks):
         for ci in range(ncomp):
             t = min(ci, 1)
-            dc = rows[ci][b][0]
+            dc = rows[ci][b][0] >> al0
             diff = dc - prev[ci]
             prev[ci] = dc
             if diff == 0:
@@ -896,11 +906,12 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         t = min(ci, 1)
         sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 0, 0])  # Ss=0 Se=0 AhAl=0
+    sos += bytes([0, 0, al0])  # Ss=0 Se=0 Ah=0 Al=al0
     out += _seg(0xDA, sos)
     out += bw.pack()
 
-    # AC band scans: non-interleaved, one component per scan
+    # AC band first passes: non-interleaved, one component per scan,
+    # values sent at Al=al0 precision (sign·(|v|>>Al), G.1.2.2)
     for ci in range(ncomp):
         t = min(ci, 1)
         for ss, se in _AC_BANDS:
@@ -908,12 +919,19 @@ def encode_jpeg_progressive(
             comp_rows = rows[ci]
             for b in range(n_blocks):
                 co = comp_rows[b]
-                last_nz = se
-                while last_nz >= ss and co[last_nz] == 0:
+                if al0:
+                    band = [
+                        (v >> al0) if v >= 0 else -((-v) >> al0)
+                        for v in co[ss : se + 1]
+                    ]
+                else:
+                    band = co[ss : se + 1]
+                last_nz = se - ss
+                while last_nz >= 0 and band[last_nz] == 0:
                     last_nz -= 1
                 run = 0
-                for k in range(ss, last_nz + 1):
-                    v = co[k]
+                for k in range(last_nz + 1):
+                    v = band[k]
                     if v == 0:
                         run += 1
                         continue
@@ -928,12 +946,79 @@ def encode_jpeg_progressive(
                     bw.write(code, length)
                     bw.write(vbits, s)
                     run = 0
-                if last_nz < se:
+                if last_nz < se - ss:
                     code, length = ac_tabs[t][0x00]  # EOB (EOBRUN=1)
                     bw.write(code, length)
-            sos = bytes([1, ci + 1, (t << 4) | t, ss, se, 0])
+            sos = bytes([1, ci + 1, (t << 4) | t, ss, se, al0])
             out += _seg(0xDA, sos)
             out += bw.pack()
+
+    if successive:
+        # DC refinement (Ah=1, Al=0): one raw magnitude bit per block
+        # per component, interleaved — no Huffman coding (G.1.2.1)
+        bw = _SymbolSink()
+        for b in range(n_blocks):
+            for ci in range(ncomp):
+                bw.write(rows[ci][b][0] & 1, 1)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 0, (1 << 4) | 0])  # Ah=1 Al=0
+        out += _seg(0xDA, sos)
+        out += bw.pack()
+
+        # AC refinement scans (Ah=1, Al=0): the run/correction-bit
+        # procedure of G.1.2.3 (per-block EOB so the baseline Huffman
+        # tables suffice, matching the first-pass encoder's contract)
+        for ci in range(ncomp):
+            t = min(ci, 1)
+            for ss, se in _AC_BANDS:
+                bw = _SymbolSink()
+                comp_rows = rows[ci]
+                for b in range(n_blocks):
+                    co = comp_rows[b]
+                    # eobpos: last newly-nonzero position (|v| == 1 —
+                    # invisible at Al=1, appears in this pass)
+                    eobpos = ss - 1
+                    for k in range(ss, se + 1):
+                        v = co[k]
+                        if v == 1 or v == -1:
+                            eobpos = k
+                    run = 0
+                    corr: list[int] = []  # buffered correction bits
+                    for k in range(ss, se + 1):
+                        v = co[k]
+                        a = v if v >= 0 else -v
+                        if a == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eobpos:
+                            code, length = ac_tabs[t][0xF0]  # ZRL
+                            bw.write(code, length)
+                            run -= 16
+                            for bit in corr:
+                                bw.write(bit, 1)
+                            corr = []
+                        if a > 1:  # nonzero-history: correction bit
+                            corr.append(a & 1)
+                            continue
+                        # newly nonzero (|v| == 1)
+                        code, length = ac_tabs[t][(run << 4) | 1]
+                        bw.write(code, length)
+                        bw.write(1 if v > 0 else 0, 1)
+                        for bit in corr:
+                            bw.write(bit, 1)
+                        corr = []
+                        run = 0
+                    if run > 0 or corr:
+                        code, length = ac_tabs[t][0x00]  # EOB (run=1)
+                        bw.write(code, length)
+                        for bit in corr:
+                            bw.write(bit, 1)
+                sos = bytes([1, ci + 1, (t << 4) | t, ss, se, (1 << 4) | 0])
+                out += _seg(0xDA, sos)
+                out += bw.pack()
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -942,8 +1027,11 @@ def encode_jpeg_progressive(
 def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     """Progressive reconstruction: apply each scan's coefficients into
     per-component (n_blocks, 64) zigzag arrays, then the shared
-    dequant + IDCT + color path. Spectral selection only (Ah != 0
-    raises); general EOBRUN handled."""
+    dequant + IDCT + color path. Spectral selection AND successive
+    approximation (T.81 G.1.2.2/G.1.2.3: first passes store values
+    << Al; refinement passes add the next magnitude bit, with the
+    run/correction-bit walk of the standard Huffman refinement
+    procedure); general EOBRUN handled."""
     fh, fw, comps = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     if any((hi, vi) != (1, 1) for _, _, hi, vi in comps):
@@ -953,8 +1041,6 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     coefs = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid, *_ in comps}
 
     for (scan, ss, se, ah, al), entropy in scans:
-        if ah != 0 or al != 0:
-            raise NotImplementedError("successive approximation")
         for cid, _td, _ta in scan:
             if cid not in coefs:
                 raise ValueError("scan references unknown component")
@@ -962,18 +1048,25 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
         if ss == 0:  # DC scan (interleaved over the listed components)
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
-            for _cid, td, _ta in scan:
-                if td not in dc_luts:
-                    raise ValueError("scan references missing DC table")
-            prev = {cid: 0 for cid, _, _ in scan}
-            for b in range(n_blocks):
-                for cid, td, _ta in scan:
-                    s = br.decode(dc_luts[td])
-                    v = br.bits(s)
-                    if s and v < (1 << (s - 1)):
-                        v -= (1 << s) - 1
-                    prev[cid] += v
-                    coefs[cid][b, 0] = prev[cid]
+            if ah == 0:  # first pass: DPCM in the >>Al domain
+                for _cid, td, _ta in scan:
+                    if td not in dc_luts:
+                        raise ValueError("scan references missing DC table")
+                prev = {cid: 0 for cid, _, _ in scan}
+                for b in range(n_blocks):
+                    for cid, td, _ta in scan:
+                        s = br.decode(dc_luts[td])
+                        v = br.bits(s)
+                        if s and v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        prev[cid] += v
+                        coefs[cid][b, 0] = prev[cid] << al
+            else:  # refinement: one raw bit per block per component
+                p1 = 1 << al
+                for b in range(n_blocks):
+                    for cid, _td, _ta in scan:
+                        if br.bits(1):
+                            coefs[cid][b, 0] |= p1
         else:  # AC band scan: exactly one component
             if len(scan) != 1:
                 raise ValueError("interleaved AC scan in progressive")
@@ -984,29 +1077,82 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
                 raise ValueError("scan references missing AC table")
             luts = ac_luts[ta]
             eobrun = 0
-            for b in range(n_blocks):
-                if eobrun > 0:
-                    eobrun -= 1
-                    continue
-                block = coefs[cid][b]
-                k = ss
-                while k <= se:
-                    rs = br.decode(luts)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        eobrun = (1 << r) - 1 + br.bits(r)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError("AC band overflow")
-                    v = br.bits(s)
-                    if v < (1 << (s - 1)):
-                        v -= (1 << s) - 1
-                    block[k] = v
-                    k += 1
+            if ah == 0:  # first pass for this band (values stored << Al)
+                for b in range(n_blocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    block = coefs[cid][b]
+                    k = ss
+                    while k <= se:
+                        rs = br.decode(luts)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1 + br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC band overflow")
+                        v = br.bits(s)
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        block[k] = v << al
+                        k += 1
+            else:  # refinement pass (G.1.2.3): run/correction-bit walk
+                p1 = 1 << al
+                m1 = -p1
+                for b in range(n_blocks):
+                    block = coefs[cid][b]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.decode(luts)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) + br.bits(r)
+                                    break  # rest handled by EOB logic
+                                # r == 15 (ZRL): skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement magnitude != 1"
+                                    )
+                                newval = p1 if br.bits(1) else m1
+                            # advance over r zero-history coefficients,
+                            # reading correction bits at nonzero-history
+                            # ones passed along the way
+                            while k <= se:
+                                if block[k] != 0:
+                                    if br.bits(1) and (block[k] & p1) == 0:
+                                        block[k] += (
+                                            p1 if block[k] >= 0 else m1
+                                        )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval != 0:
+                                if k > se:
+                                    raise ValueError(
+                                        "AC refinement overflow"
+                                    )
+                                block[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # EOB logic: refine this block's remaining
+                        # nonzero-history coefficients to end of band
+                        while k <= se:
+                            if block[k] != 0:
+                                if br.bits(1) and (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
 
     planes = []
     for cid, *_ in comps:

@@ -172,7 +172,12 @@ def synth_image(image_id: str) -> dict:
 
         arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
         if rng.u01() < 1 / 3:
-            data = encode_jpeg_progressive(arr, quality=98)
+            # half the progressive rows use successive approximation —
+            # the dominant real-web progressive layout — so all three
+            # decode profiles run through the real crawl pipeline
+            data = encode_jpeg_progressive(
+                arr, quality=98, successive=rng.u01() < 0.5
+            )
         else:
             data = encode_jpeg(arr, quality=98)
     return {
