@@ -192,7 +192,45 @@ def linkrank_step_plan(spark):
     return rank_step(verts, ed, out_deg, ranks, 0.85, 101)
 
 
+def authority_schedule_plan(spark):
+    """Plan for the authority-weighted politeness schedule: the
+    (url_hash, rank) authority join must not push Python into the
+    frontier path, and the two-phase salted rank must keep its
+    WindowGroupLimit-free row_number windows JVM-side."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.schedule import (
+        politeness_select,
+        with_frontier_columns,
+    )
+
+    raw = spark.range(5000).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 40).cast("string"),
+            F.lit(".test/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+    )
+    authority = spark.range(500).select(
+        F.xxhash64((F.col("id") * 3).cast("string")).alias("url_hash"),
+        (F.lit(1.0) / (F.col("id") + 1)).alias("rank"),
+    )
+    fr = with_frontier_columns(
+        raw, epoch=0, authority=authority, authority_weight=4.0
+    ).withColumn("crawl_delay", F.lit(1.0))
+    scheduled, _ = politeness_select(fr, budget_base=8)
+    return scheduled
+
+
 EXTRA_CHECKS = {
+    "authority-weighted schedule": (
+        authority_schedule_plan,
+        [
+            ("BroadcastHashJoin|SortMergeJoin", "authority is a JVM join"),
+            ("RunningWindowFunction|Window", "politeness rank is a window"),
+            ("!EvalPython", "frontier path pure JVM"),
+        ],
+    ),
     "link_rank step (dangling in-plan)": (
         linkrank_step_plan,
         [
