@@ -248,8 +248,10 @@ def _q_lsh_embedding_pairs(spark, sf_dir):
     """OR-amplified multi-table LSH (12 tables × 3 bits): recall at the
     min_cosine=0.3 operating point is ≥ 0.94 BY CONSTRUCTION
     (1-(1-p^r)^b at the threshold angle) — round 2's single 4-bit table
-    found ~13% (VERDICT r02 #1). Approximate by design → rows-only;
-    recall pinned vs the exact baseline in tests/test_similarity.py."""
+    found ~13% (VERDICT r02 #1). Hash-graded (r5): the DuckDB oracle
+    recomputes the deterministic bucket keys driver-side and rebuilds
+    the candidate join + cosine verify in SQL; recall additionally
+    pinned vs the exact baseline in tests/test_similarity.py."""
     from bisque_spark.operators.similarity import lsh_near_pairs
 
     pairs = lsh_near_pairs(
@@ -323,9 +325,10 @@ def _q_doc_lang_run_clusters(spark, sf_dir):
 def _q_doc_dup_clusters(spark, sf_dir):
     """Near-dup cluster formation: connected components over the
     MinHash+LSH pair graph (the step after pair generation in a
-    training-data dedup pipeline). Oracle = pytest union-find
-    (tests/test_cluster.py); rows-only here — the pair set itself is
-    not SQL-expressible."""
+    training-data dedup pipeline). Hash-graded (r5): the DuckDB oracle
+    rebuilds the pair graph from signature VALUES + SQL banding and
+    clusters it with a recursive CTE; union-find additionally pinned
+    by tests/test_cluster.py."""
     from bisque_spark.operators.cluster import connected_components
     from bisque_spark.operators.dedup import minhash_dedup_pairs
 
@@ -1209,11 +1212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_both_types": _q_active_users_both_types,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
         "image_phash_pairs": _q_image_phash_pairs,
-        # -- 10 rows-only (oracle = reference/numpy via pytest) ------------
-        "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_embedding_pairs": _q_lsh_embedding_pairs,
+        "minhash_near_dups": _q_minhash_near_dups,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "lsh_embedding_pairs": _q_lsh_embedding_pairs,
+        # -- 6 rows-only (oracle = reference/numpy via pytest) -------------
         "extract_captions": _q_extract_captions,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1221,6 +1224,232 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_pipeline": _q_parse_pipeline,
         "emb_ivf_topk": _q_emb_ivf_topk,
     }
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir fixture-VALUES oracles read. The driver grades at
+    sf0.01; scripts/check_entry.py overrides via env when pointed at a
+    different sf so the fixtures stay aligned with the query input."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """Exact all-pairs Hamming oracle for _q_simhash_near_dups: the
+    signatures come from simhash_py — the pure-Python twin pinned
+    bit-identical to the vectorized executor UDF by tests/test_text.py
+    — computed driver-side over the same documents table and embedded
+    as VALUES. DuckDB then does the exact quadratic join the pigeonhole
+    banding must fully recall (hamming <= 6 ⇒ >= 1 untouched band)."""
+    import pyarrow.parquet as pq
+
+    from bisque_spark.functions.text import simhash_py
+
+    rows = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    vals = ",\n                   ".join(
+        f"(CAST({r['doc_id']} AS BIGINT),"
+        f" CAST({simhash_py(r['text'] or '')} AS BIGINT))"
+        for r in rows
+    )
+    return f"""
+            WITH sh(doc_id, sh) AS (
+                VALUES {vals}
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        """
+
+
+def _minhash_pairs_oracle_sql() -> str:
+    """Differential oracle for _q_minhash_near_dups: signatures are
+    computed driver-side by the same deterministic (a·h+b) mod M61
+    family (seed 42 — test-pinned), embedded as BIGINT[] VALUES; the
+    BANDING, candidate dedup, est-Jaccard and threshold are then
+    re-expressed independently in SQL (band = exact slice equality —
+    the engine's xxhash64 band key equals iff the slice equals, modulo
+    a 2^-64 collision the est filter would reject anyway). Verifies
+    the distributed LSH join end-to-end against a quadratic anchor."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bisque_spark.operators.dedup import (
+        _minhash_params,
+        _minhash_series,
+        tune_signature,
+    )
+
+    n_hashes, bands, rows_per_band = tune_signature(0.35)
+    a, b = _minhash_params(n_hashes)
+    rows = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    sigs = _minhash_series(
+        pd.Series([r["text"] or "" for r in rows]), a, b, 8
+    )
+    vals = ",\n                   ".join(
+        f"(CAST({r['doc_id']} AS BIGINT),"
+        f" [{','.join(str(int(x)) for x in sig)}]::BIGINT[])"
+        for r, sig in zip(rows, sigs)
+    )
+    est = (
+        f"len(list_filter(range(1, {n_hashes}+1), i -> sa[i] = sb[i]))"
+        f" * 1.0 / {n_hashes}"
+    )
+    return f"""
+            WITH sg(doc_id, sig) AS (
+                VALUES {vals}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sa, b.sig AS sb
+                FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+                WHERE EXISTS (
+                    SELECT 1 FROM range({bands}) r(i)
+                    WHERE list_slice(a.sig, i*{rows_per_band}+1,
+                                     (i+1)*{rows_per_band})
+                        = list_slice(b.sig, i*{rows_per_band}+1,
+                                     (i+1)*{rows_per_band})
+                )
+            )
+            SELECT id_a, id_b, round({est}, 4) AS est_jaccard
+            FROM cand
+            WHERE {est} >= 0.35
+        """
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """Oracle for _q_doc_dup_clusters: the SAME signature-VALUES +
+    SQL banding as _minhash_pairs_oracle_sql produces the pair graph,
+    then a recursive CTE computes min-label connected components —
+    the independent re-expression of operators/cluster.py's
+    label-propagation loop (same shape as doc_curation_pipeline's
+    clustering stage, there verified over exact n-gram pairs)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bisque_spark.operators.dedup import (
+        _minhash_params,
+        _minhash_series,
+        tune_signature,
+    )
+
+    n_hashes, bands, rows_per_band = tune_signature(0.35)
+    a, b = _minhash_params(n_hashes)
+    rows = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    sigs = _minhash_series(
+        pd.Series([r["text"] or "" for r in rows]), a, b, 8
+    )
+    vals = ",\n                   ".join(
+        f"(CAST({r['doc_id']} AS BIGINT),"
+        f" [{','.join(str(int(x)) for x in sig)}]::BIGINT[])"
+        for r, sig in zip(rows, sigs)
+    )
+    est = (
+        f"len(list_filter(range(1, {n_hashes}+1), i -> sa[i] = sb[i]))"
+        f" * 1.0 / {n_hashes}"
+    )
+    return f"""
+            WITH RECURSIVE sg(doc_id, sig) AS (
+                VALUES {vals}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sa, b.sig AS sb
+                FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+                WHERE EXISTS (
+                    SELECT 1 FROM range({bands}) r(i)
+                    WHERE list_slice(a.sig, i*{rows_per_band}+1,
+                                     (i+1)*{rows_per_band})
+                        = list_slice(b.sig, i*{rows_per_band}+1,
+                                     (i+1)*{rows_per_band})
+                )
+            ),
+            fwd AS (
+                SELECT id_a, id_b FROM cand WHERE {est} >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM fwd
+                UNION ALL
+                SELECT id_b, id_a FROM fwd
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, lbl) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        """
+
+
+def _lsh_embedding_oracle_sql() -> str:
+    """Differential oracle for _q_lsh_embedding_pairs: the hyperplane
+    bucket keys are recomputed driver-side with the SAME deterministic
+    construction (seed-42 normal planes, table-tagged sign bits — the
+    operator's numpy path, here applied outside Spark) and embedded as
+    VALUES; DuckDB independently re-expresses the any-table bucket
+    join, pair dedup, exact-cosine verify and threshold against the
+    embeddings view. Verifies the distributed candidate join + verify
+    end-to-end; the hash family's recall is pinned separately by
+    tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    dim, n_tables, n_bits, seed = 64, 12, 3, 42
+    planes = np.random.RandomState(seed).normal(size=(dim, n_tables * n_bits))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    table_tag = np.arange(n_tables, dtype=np.int64) << n_bits
+    rows = pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in rows]
+    )
+    bits = (mat @ planes > 0).reshape(len(mat), n_tables, n_bits)
+    keys = (bits @ weights) | table_tag[None, :]
+    vals = ",\n                   ".join(
+        f"(CAST({r['vec_id']} AS BIGINT),"
+        f" [{','.join(map(str, k))}]::BIGINT[])"
+        for r, k in zip(rows, keys.tolist())
+    )
+    return f"""
+            WITH ks(vec_id, keys) AS (
+                VALUES {vals}
+            ),
+            flat AS (SELECT vec_id, unnest(keys) AS k FROM ks),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM flat a JOIN flat b
+                  ON a.k = b.k AND a.vec_id < b.vec_id
+            ),
+            cos AS (
+                SELECT c.id_a, c.id_b,
+                       list_dot_product(
+                          list_transform(ea.embedding,
+                                         x -> CAST(x AS DOUBLE)),
+                          list_transform(eb.embedding,
+                                         x -> CAST(x AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(ea.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(eb.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                           AS cosine
+                FROM cand c
+                JOIN embeddings ea ON ea.vec_id = c.id_a
+                JOIN embeddings eb ON eb.vec_id = c.id_b
+            )
+            SELECT id_a, id_b, round(cosine, 4) AS cosine
+            FROM cos WHERE cosine >= 0.3
+        """
 
 
 def _phash_pairs_oracle_sql() -> str:
@@ -1438,6 +1667,10 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "image_phash_pairs": _phash_pairs_oracle_sql(),
+        "simhash_near_dups": _simhash_pairs_oracle_sql(),
+        "minhash_near_dups": _minhash_pairs_oracle_sql(),
+        "doc_dup_clusters": _dup_clusters_oracle_sql(),
+        "lsh_embedding_pairs": _lsh_embedding_oracle_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

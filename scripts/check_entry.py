@@ -19,6 +19,12 @@ from bisque_spark.util import release_caches
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
+# fixture-VALUES oracles (simhash/minhash signatures) must read the
+# same tables the queries run on when checking a non-default sf
+import os
+
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
