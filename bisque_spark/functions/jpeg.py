@@ -11,12 +11,13 @@ Scope — deliberately the baseline profile only:
   Huffman tables, JFIF APP0.
 - decode: baseline sequential (SOF0) with sampling factors up to
   2×2 (4:4:4 / 4:2:2 / 4:2:0) and DRI/RSTn restart intervals, AND
-  progressive (SOF2) with spectral selection incl. general EOBRUN
-  plus successive approximation (DC and AC refinement passes, T.81
-  G.1.2.2/G.1.2.3 — the dominant real-web progressive layout)
-  (4:4:4/gray; subsampled progressive, arithmetic, 12-bit, >2×
-  sampling, multi-scan baseline raise NotImplementedError — callers
-  route that to an error column, multimodal.py contract).
+  progressive (SOF2) with spectral selection incl. general EOBRUN,
+  successive approximation (DC and AC refinement passes, T.81
+  G.1.2.2/G.1.2.3) AND chroma subsampling up to 2×2 — together the
+  dominant real-web progressive layout (4:2:0 + SA). Arithmetic,
+  12-bit, >2× sampling and multi-scan baseline raise
+  NotImplementedError — callers route that to an error column
+  (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -751,8 +752,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # EOB is emitted per block (EOBRUN r=0) so the standard baseline
 # Huffman tables suffice; the DECODER handles general EOBRUN (r up to
 # 14) and arbitrary conforming Ah/Al chains for files from other
-# encoders. Scope: 4:4:4 / grayscale (subsampled progressive raises —
-# honest NotImplementedError, same contract as 12-bit).
+# encoders, and subsampled (4:2:0/4:2:2) frames: interleaved DC scans
+# walk the MCU grid, non-interleaved scans walk the component's own
+# un-padded block grid (T.81 A.2.2).
 
 _AC_BANDS = ((1, 5), (6, 63))
 
@@ -804,7 +806,10 @@ class _ScanReader:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, successive: bool = False
+    pixels: np.ndarray,
+    quality: int = 90,
+    successive: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """H×W×3 RGB (or grayscale) → progressive (SOF2) JFIF bytes,
     spectral selection: one interleaved DC scan, then per-component AC
@@ -812,14 +817,21 @@ def encode_jpeg_progressive(
     (T.81 G.1.2.2/G.1.2.3): every first pass sends coefficients at
     Al=1 precision, followed by Ah=1→Al=0 refinement scans carrying
     the final magnitude bit — the dominant real-web progressive
-    layout. Identical quantized coefficients to the baseline encoder
-    at the same quality ⇒ identical decoded pixels either way."""
+    layout. ``subsampling`` accepts '444'/'422'/'420' like the
+    baseline encoder: the interleaved DC scans walk the MCU grid
+    (hi×vi blocks per component) and the non-interleaved AC scans walk
+    each component's OWN un-padded block grid (T.81 A.2.2). Identical
+    quantized coefficients to the baseline encoder at the same quality
+    and subsampling ⇒ identical decoded pixels for every layout."""
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     px = pixels.astype(np.float64)
     if gray:
         planes = [px]
+        factors = [(1, 1)]
     else:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         planes = [
@@ -827,18 +839,37 @@ def encode_jpeg_progressive(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        factors = {
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+            "444": [(1, 1)] * 3,
+        }[subsampling]
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qts = [_quality_scale(_QT_LUMA, quality)]
     if not gray:
         qts.append(_quality_scale(_QT_CHROMA, quality))
+    # pad/downsample each plane to its MCU-aligned tile grid, then
+    # vectorized FDCT + quantization (same prep as the baseline
+    # encoder — identical quantized coefficients by construction)
     quantized = []
     for ci, plane in enumerate(planes):
+        hi, vi = factors[ci]
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            full = _pad_to(plane, mcuy * 8 * vmax, mcux * 8 * hmax)
+            ph, pw = full.shape
+            plane = full.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        else:
+            plane = _pad_to(plane, mcuy * 8 * vi, mcux * 8 * hi)
         qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
         blocks, _, _ = _blockify(plane - 128.0)
         coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
         quantized.append(
             np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         )
-    n_blocks = quantized[0].shape[0]
 
     def as_list(d, size):
         out = [(0, 0)] * size
@@ -860,10 +891,10 @@ def encode_jpeg_progressive(
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, qt in enumerate(qts):
         out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += _seg(0xC2, sof)  # SOF2: progressive
     specs = [
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -877,31 +908,52 @@ def encode_jpeg_progressive(
     for tc_th, bits, vals in specs:
         out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
 
-    # one list conversion per component, shared by the DC scan and
-    # BOTH AC band scans (numpy scalar indexing in the block loops was
-    # ~1.5 s of crawl wall at sf0.1)
+    # one list conversion per component, shared by every scan
     rows = [qz.tolist() for qz in quantized]
     al0 = 1 if successive else 0  # first-pass point transform
+
+    # per-component non-interleaved block order (the AC scan order):
+    # raster over the component's own un-padded grid, mapped into the
+    # MCU-padded tile stride
+    ni_pos = []
+    for ci in range(ncomp):
+        hi, vi = factors[ci]
+        row_tiles = mcux * hi
+        cwb = -(-(-(-w * hi // hmax)) // 8)
+        chb = -(-(-(-h * vi // vmax)) // 8)
+        ni_pos.append(
+            [row * row_tiles + col for row in range(chb) for col in range(cwb)]
+        )
+
+    def interleaved_blocks():
+        """MCU walk: yields (ci, tile index) in T.81 A.2.3 order."""
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hi, vi = factors[ci]
+                row_tiles = mcux * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield ci, (my * vi + by) * row_tiles + (mx * hi + bx)
 
     # scan 1: interleaved DC first pass (Ss=Se=0, Ah=0, Al=al0) —
     # DPCM runs in the >>Al domain (arithmetic shift, G.1.2.1)
     bw = _SymbolSink()
     prev = [0] * ncomp
-    for b in range(n_blocks):
-        for ci in range(ncomp):
-            t = min(ci, 1)
-            dc = rows[ci][b][0] >> al0
-            diff = dc - prev[ci]
-            prev[ci] = dc
-            if diff == 0:
-                s, vbits = 0, 0
-            else:
-                a = diff if diff > 0 else -diff
-                s = a.bit_length()
-                vbits = diff if diff > 0 else diff + (1 << s) - 1
-            code, length = dc_tabs[t][s]
-            bw.write(code, length)
-            bw.write(vbits, s)
+    for ci, tile in interleaved_blocks():
+        t = min(ci, 1)
+        dc = rows[ci][tile][0] >> al0
+        diff = dc - prev[ci]
+        prev[ci] = dc
+        if diff == 0:
+            s, vbits = 0, 0
+        else:
+            a = diff if diff > 0 else -diff
+            s = a.bit_length()
+            vbits = diff if diff > 0 else diff + (1 << s) - 1
+        code, length = dc_tabs[t][s]
+        bw.write(code, length)
+        bw.write(vbits, s)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
@@ -917,8 +969,8 @@ def encode_jpeg_progressive(
         for ss, se in _AC_BANDS:
             bw = _SymbolSink()
             comp_rows = rows[ci]
-            for b in range(n_blocks):
-                co = comp_rows[b]
+            for tile in ni_pos[ci]:
+                co = comp_rows[tile]
                 if al0:
                     band = [
                         (v >> al0) if v >= 0 else -((-v) >> al0)
@@ -954,12 +1006,11 @@ def encode_jpeg_progressive(
             out += bw.pack()
 
     if successive:
-        # DC refinement (Ah=1, Al=0): one raw magnitude bit per block
-        # per component, interleaved — no Huffman coding (G.1.2.1)
+        # DC refinement (Ah=1, Al=0): one raw magnitude bit per block,
+        # interleaved MCU order — no Huffman coding (G.1.2.1)
         bw = _SymbolSink()
-        for b in range(n_blocks):
-            for ci in range(ncomp):
-                bw.write(rows[ci][b][0] & 1, 1)
+        for ci, tile in interleaved_blocks():
+            bw.write(rows[ci][tile][0] & 1, 1)
         sos = bytes([ncomp])
         for ci in range(ncomp):
             t = min(ci, 1)
@@ -976,8 +1027,8 @@ def encode_jpeg_progressive(
             for ss, se in _AC_BANDS:
                 bw = _SymbolSink()
                 comp_rows = rows[ci]
-                for b in range(n_blocks):
-                    co = comp_rows[b]
+                for tile in ni_pos[ci]:
+                    co = comp_rows[tile]
                     # eobpos: last newly-nonzero position (|v| == 1 —
                     # invisible at Al=1, appears in this pass)
                     eobpos = ss - 1
@@ -1026,48 +1077,107 @@ def encode_jpeg_progressive(
 
 def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     """Progressive reconstruction: apply each scan's coefficients into
-    per-component (n_blocks, 64) zigzag arrays, then the shared
-    dequant + IDCT + color path. Spectral selection AND successive
+    per-component zigzag arrays, then the shared dequant + IDCT +
+    upsample + color path. Handles spectral selection, successive
     approximation (T.81 G.1.2.2/G.1.2.3: first passes store values
-    << Al; refinement passes add the next magnitude bit, with the
-    run/correction-bit walk of the standard Huffman refinement
-    procedure); general EOBRUN handled."""
+    << Al; refinement passes add the next magnitude bit via the
+    run/correction-bit walk), general EOBRUN, AND subsampled frames
+    (4:2:0/4:2:2): interleaved DC scans walk the MCU grid with hi×vi
+    blocks per component; non-interleaved scans (all AC scans, and DC
+    scans listing one component) walk the component's OWN un-padded
+    block grid (T.81 A.2.2), mapped into the MCU-padded storage.
+    """
     fh, fw, comps = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
-    if any((hi, vi) != (1, 1) for _, _, hi, vi in comps):
-        raise NotImplementedError("subsampled progressive")
-    bh, bw_ = -(-fh // 8), -(-fw // 8)
-    n_blocks = bh * bw_
-    coefs = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid, *_ in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError("fractional sampling ratios")
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    # per-component geometry: padded (MCU) grid for storage, un-padded
+    # grid for non-interleaved scan order
+    geom = {}
+    for cid, _tq, hi, vi in comps:
+        pwb, phb = mcux * hi, mcuy * vi
+        cwb = -(-(-(-fw * hi // hmax)) // 8)
+        chb = -(-(-(-fh * vi // vmax)) // 8)
+        geom[cid] = (pwb, phb, cwb, chb)
+    coefs = {
+        cid: np.zeros((geom[cid][0] * geom[cid][1], 64), dtype=np.int32)
+        for cid, *_ in comps
+    }
+
+    def ni_positions(cid):
+        """Non-interleaved block order: raster over the component's own
+        (chb × cwb) grid, mapped into the padded row stride."""
+        pwb, _phb, cwb, chb = geom[cid]
+        for row in range(chb):
+            base = row * pwb
+            for col in range(cwb):
+                yield base + col
 
     for (scan, ss, se, ah, al), entropy in scans:
         for cid, _td, _ta in scan:
             if cid not in coefs:
                 raise ValueError("scan references unknown component")
         br = _ScanReader(entropy)
-        if ss == 0:  # DC scan (interleaved over the listed components)
+        if ss == 0:  # DC scan
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
+            interleaved = len(scan) > 1
             if ah == 0:  # first pass: DPCM in the >>Al domain
                 for _cid, td, _ta in scan:
                     if td not in dc_luts:
                         raise ValueError("scan references missing DC table")
                 prev = {cid: 0 for cid, _, _ in scan}
-                for b in range(n_blocks):
-                    for cid, td, _ta in scan:
-                        s = br.decode(dc_luts[td])
-                        v = br.bits(s)
-                        if s and v < (1 << (s - 1)):
-                            v -= (1 << s) - 1
-                        prev[cid] += v
-                        coefs[cid][b, 0] = prev[cid] << al
+
+                def dc_first(cid, td, pos):
+                    s = br.decode(dc_luts[td])
+                    v = br.bits(s)
+                    if s and v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    prev[cid] += v
+                    coefs[cid][pos, 0] = prev[cid] << al
+
+                if interleaved:
+                    for m in range(mcux * mcuy):
+                        my, mx = divmod(m, mcux)
+                        for cid, td, _ta in scan:
+                            _tq, hi, vi = comp_info[cid]
+                            pwb = geom[cid][0]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    dc_first(
+                                        cid, td,
+                                        (my * vi + by) * pwb + (mx * hi + bx),
+                                    )
+                else:
+                    cid, td, _ta = scan[0]
+                    for pos in ni_positions(cid):
+                        dc_first(cid, td, pos)
             else:  # refinement: one raw bit per block per component
                 p1 = 1 << al
-                for b in range(n_blocks):
-                    for cid, _td, _ta in scan:
+                if interleaved:
+                    for m in range(mcux * mcuy):
+                        my, mx = divmod(m, mcux)
+                        for cid, _td, _ta in scan:
+                            _tq, hi, vi = comp_info[cid]
+                            pwb = geom[cid][0]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    if br.bits(1):
+                                        coefs[cid][
+                                            (my * vi + by) * pwb
+                                            + (mx * hi + bx),
+                                            0,
+                                        ] |= p1
+                else:
+                    cid = scan[0][0]
+                    for pos in ni_positions(cid):
                         if br.bits(1):
-                            coefs[cid][b, 0] |= p1
-        else:  # AC band scan: exactly one component
+                            coefs[cid][pos, 0] |= p1
+        else:  # AC band scan: exactly one component, non-interleaved
             if len(scan) != 1:
                 raise ValueError("interleaved AC scan in progressive")
             if not (0 < ss <= se <= 63):
@@ -1078,11 +1188,11 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
             luts = ac_luts[ta]
             eobrun = 0
             if ah == 0:  # first pass for this band (values stored << Al)
-                for b in range(n_blocks):
+                for pos in ni_positions(cid):
                     if eobrun > 0:
                         eobrun -= 1
                         continue
-                    block = coefs[cid][b]
+                    block = coefs[cid][pos]
                     k = ss
                     while k <= se:
                         rs = br.decode(luts)
@@ -1104,8 +1214,8 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
             else:  # refinement pass (G.1.2.3): run/correction-bit walk
                 p1 = 1 << al
                 m1 = -p1
-                for b in range(n_blocks):
-                    block = coefs[cid][b]
+                for pos in ni_positions(cid):
+                    block = coefs[cid][pos]
                     k = ss
                     if eobrun == 0:
                         while k <= se:
@@ -1156,17 +1266,21 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
 
     planes = []
     for cid, *_ in comps:
-        tq = comp_info[cid][0]
+        tq, hi, vi = comp_info[cid]
         if tq not in qt:
             raise ValueError("component references missing quant table")
+        pwb, phb, _cwb, _chb = geom[cid]
         q = qt[tq].astype(np.float64)
         zz = coefs[cid][:, _UNZZ].reshape(-1, 8, 8).astype(np.float64)
         blocks = np.einsum("ji,bjk,kl->bil", _D, zz * q, _D)
         plane = (
-            blocks.reshape(bh, bw_, 8, 8)
+            blocks.reshape(phb, pwb, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
+            .reshape(phb * 8, pwb * 8)
         )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:fh, :fw] + 128.0)
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)

@@ -344,6 +344,46 @@ def test_successive_approximation_matches_baseline_pixels():
     assert data.count(b"\xff\xda") >= 14
 
 
+def test_subsampled_progressive_matches_baseline_pixels():
+    """4:2:0/4:2:2 progressive (spectral-only AND with successive
+    approximation) reconstructs the same quantized coefficients as the
+    subsampled baseline at equal quality ⇒ identical decoded pixels —
+    the dominant real-web layout (4:2:0 + SA) is fully supported."""
+    img = _gradient(37, 53)
+    for sub in ("420", "422"):
+        for sa in (False, True):
+            for q in (60, 95):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(
+                        img, q, successive=sa, subsampling=sub
+                    )
+                )
+                assert (prog == base).all(), (sub, sa, q)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 30))
+def test_subsampled_progressive_fuzz_contained(seed, nflips):
+    """Bit-flips/truncations of valid 4:2:0 progressive streams are
+    contained (MCU walk, un-padded AC order, refinement walk)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (19, 21, 3), dtype=np.uint8)
+    data = bytearray(
+        encode_jpeg_progressive(
+            img, quality=80, successive=bool(seed & 1), subsampling="420"
+        )
+    )
+    for _ in range(nflips):
+        data[rng.randint(2, len(data))] ^= 1 << rng.randint(8)
+    for payload in (bytes(data), bytes(data[: rng.randint(2, len(data))])):
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_sa_partial_scan_chain_still_decodes():
     """A conforming SA file truncated after the first passes (no
     refinement scans) is a legal coarse image — decode must succeed,
