@@ -542,7 +542,13 @@ def read_seen(spark: SparkSession, result: dict) -> DataFrame:
 
 def read_links(spark: SparkSession, result: dict) -> DataFrame:
     """The crawl's committed link graph: (url_hash src → dst_hash)
-    across all epochs — the edge table linkrank.link_rank consumes."""
+    across all epochs — the edge table linkrank.link_rank consumes.
+    A crawl that observed no links yields an empty edge table, not an
+    empty-path read error."""
+    if not result["links_paths"]:
+        return spark.createDataFrame(
+            [], "url_hash bigint, dst_hash bigint"
+        )
     return spark.read.parquet(*result["links_paths"]).select(
         "url_hash", "dst_hash"
     )
