@@ -10,14 +10,14 @@ Scope — deliberately the baseline profile only:
   quantization tables scaled by the IJG quality formula, standard
   Huffman tables, JFIF APP0.
 - decode: baseline sequential (SOF0) with sampling factors up to
-  2×2 (4:4:4 / 4:2:2 / 4:2:0) and DRI/RSTn restart intervals, AND
+  2×2 (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart intervals and
+  multi-scan (non-interleaved per-component) layouts, AND
   progressive (SOF2) with spectral selection incl. general EOBRUN,
   successive approximation (DC and AC refinement passes, T.81
   G.1.2.2/G.1.2.3) AND chroma subsampling up to 2×2 — together the
   dominant real-web progressive layout (4:2:0 + SA). Arithmetic,
-  12-bit, >2× sampling and multi-scan baseline raise
-  NotImplementedError — callers route that to an error column
-  (multimodal.py contract).
+  12-bit and >2× sampling raise NotImplementedError — callers route
+  that to an error column (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -275,6 +275,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes.
 
@@ -285,7 +286,14 @@ def encode_jpeg(
 
     ``restart_interval``: emit a DRI segment and an RSTn marker every
     N MCUs (byte-aligned restart points with DC-predictor reset —
-    T.81 F.1.2.2.4). 0 = no restarts."""
+    T.81 F.1.2.2.4). 0 = no restarts.
+
+    ``multi_scan``: emit one NON-INTERLEAVED scan per component
+    (T.81 B.2.1 — the legal sequential layout decoders routinely get
+    wrong); each scan walks the component's own un-padded block grid
+    (A.2.2; one data unit == one MCU for restart purposes). Same
+    quantized coefficients ⇒ same decoded pixels as the interleaved
+    form."""
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     pixels = np.asarray(pixels)
@@ -350,41 +358,80 @@ def encode_jpeg(
             as_list(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS), 256)
         )
 
-    bw = _SymbolSink()
-    prev = [0] * len(planes)
-    segments: list[bytes] = []
-    # interleaved MCU walk (T.81 A.2.3): per MCU, component ci
-    # contributes hi×vi blocks, left-to-right top-to-bottom
-    m = 0
-    for my in range(bh_mcu):
-        for mx in range(bw_mcu):
-            if restart_interval and m and m % restart_interval == 0:
-                # byte-align, emit the segment, reset DC predictors
-                segments.append(bw.pack())
-                bw = _SymbolSink()
-                prev = [0] * len(planes)
-            m += 1
-            for ci in range(len(planes)):
-                hi, vi = factors[ci]
-                t = min(ci, 1)
-                row_tiles = bw_mcu * hi
-                for by in range(vi):
-                    for bx in range(hi):
-                        tile = (my * vi + by) * row_tiles + (mx * hi + bx)
-                        prev[ci] = _encode_block(
-                            bw,
-                            quantized[ci][tile],
-                            dc_tabs[t],
-                            ac_tabs[t],
-                            prev[ci],
-                        )
-    segments.append(bw.pack())
-    pieces = []
-    for si, seg in enumerate(segments):
-        if si:
-            pieces.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
-        pieces.append(seg)
-    entropy = b"".join(pieces)
+    def pack_segments(segments: list[bytes]) -> bytes:
+        pieces = []
+        for si, seg in enumerate(segments):
+            if si:
+                pieces.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
+            pieces.append(seg)
+        return b"".join(pieces)
+
+    scans_out: list[tuple[bytes, bytes]] = []  # (sos payload, entropy)
+    if multi_scan:
+        # one non-interleaved scan per component over its un-padded grid
+        for ci in range(len(planes)):
+            hi, vi = factors[ci]
+            t = min(ci, 1)
+            row_tiles = bw_mcu * hi
+            cwb = -(-(-(-w * hi // hmax)) // 8)
+            chb = -(-(-(-h * vi // vmax)) // 8)
+            bw = _SymbolSink()
+            segments: list[bytes] = []
+            prev_dc = 0
+            m = 0
+            for row in range(chb):
+                for col in range(cwb):
+                    if restart_interval and m and m % restart_interval == 0:
+                        segments.append(bw.pack())
+                        bw = _SymbolSink()
+                        prev_dc = 0
+                    m += 1
+                    prev_dc = _encode_block(
+                        bw,
+                        quantized[ci][row * row_tiles + col],
+                        dc_tabs[t],
+                        ac_tabs[t],
+                        prev_dc,
+                    )
+            segments.append(bw.pack())
+            sos = bytes([1, ci + 1, (t << 4) | t, 0, 63, 0])
+            scans_out.append((sos, pack_segments(segments)))
+    else:
+        bw = _SymbolSink()
+        prev = [0] * len(planes)
+        segments = []
+        # interleaved MCU walk (T.81 A.2.3): per MCU, component ci
+        # contributes hi×vi blocks, left-to-right top-to-bottom
+        m = 0
+        for my in range(bh_mcu):
+            for mx in range(bw_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    # byte-align, emit the segment, reset DC predictors
+                    segments.append(bw.pack())
+                    bw = _SymbolSink()
+                    prev = [0] * len(planes)
+                m += 1
+                for ci in range(len(planes)):
+                    hi, vi = factors[ci]
+                    t = min(ci, 1)
+                    row_tiles = bw_mcu * hi
+                    for by in range(vi):
+                        for bx in range(hi):
+                            tile = (my * vi + by) * row_tiles + (mx * hi + bx)
+                            prev[ci] = _encode_block(
+                                bw,
+                                quantized[ci][tile],
+                                dc_tabs[t],
+                                ac_tabs[t],
+                                prev[ci],
+                            )
+        segments.append(bw.pack())
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        scans_out.append((sos, pack_segments(segments)))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -409,13 +456,9 @@ def encode_jpeg(
         out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = min(ci, 1)
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-    out += entropy
+    for sos, entropy in scans_out:
+        out += _seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -460,6 +503,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dri = 0
     progressive = False
     prog_scans = []
+    seq_scans = []
     i = 2
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -526,14 +570,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if not progressive and entropy is not None:
-                # a legal baseline-sequential file MAY carry several
-                # non-interleaved scans (T.81 B.2.1); decoding only the
-                # last would yield a silently wrong image, so route to
-                # the error column like other unsupported profiles
-                raise NotImplementedError(
-                    "multi-scan baseline (non-interleaved scans)"
-                )
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS")
             ns = seg[0]
@@ -569,14 +605,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 scan = None
                 entropy = None
+            else:
+                # sequential: a legal baseline file MAY split its
+                # components over several scans (T.81 B.2.1) —
+                # accumulate; a single scan keeps the inlined hot loop
+                seq_scans.append((scan, entropy, dri))
             continue
         i += ln
     if progressive:
         if frame is None or not prog_scans:
             raise ValueError("missing SOF2/scan data")
         return _decode_progressive(frame, prog_scans, qt, dc_tabs, ac_tabs)
-    if frame is None or scan is None or entropy is None:
+    if frame is None or not seq_scans:
         raise ValueError("missing SOF/SOS/entropy data")
+    if len(seq_scans) > 1 or len(seq_scans[0][0]) != len(frame[2]):
+        # several scans, or one scan covering only SOME components:
+        # the general path (its coverage check rejects partial files —
+        # the hot loop below would decode them silently wrong)
+        return _decode_multiscan_sequential(
+            frame, seq_scans, qt, dc_tabs, ac_tabs
+        )
+    scan, entropy, dri = seq_scans[0]
 
     fh, fw, comps = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
@@ -1089,33 +1138,14 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
     """
     fh, fw, comps = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
-    hmax = max(hi for _, _, hi, _ in comps)
-    vmax = max(vi for _, _, _, vi in comps)
-    for _, _, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError("fractional sampling ratios")
-    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
-    # per-component geometry: padded (MCU) grid for storage, un-padded
-    # grid for non-interleaved scan order
-    geom = {}
-    for cid, _tq, hi, vi in comps:
-        pwb, phb = mcux * hi, mcuy * vi
-        cwb = -(-(-(-fw * hi // hmax)) // 8)
-        chb = -(-(-(-fh * vi // vmax)) // 8)
-        geom[cid] = (pwb, phb, cwb, chb)
+    hmax, vmax, mcux, mcuy, geom = _frame_geom(frame)
     coefs = {
         cid: np.zeros((geom[cid][0] * geom[cid][1], 64), dtype=np.int32)
         for cid, *_ in comps
     }
 
     def ni_positions(cid):
-        """Non-interleaved block order: raster over the component's own
-        (chb × cwb) grid, mapped into the padded row stride."""
-        pwb, _phb, cwb, chb = geom[cid]
-        for row in range(chb):
-            base = row * pwb
-            for col in range(cwb):
-                yield base + col
+        return _ni_positions(geom, cid)
 
     for (scan, ss, se, ah, al), entropy in scans:
         for cid, _td, _ta in scan:
@@ -1134,10 +1164,14 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
 
                 def dc_first(cid, td, pos):
                     s = br.decode(dc_luts[td])
+                    if s > 11:  # 8-bit DC magnitude cap (F.1.2.1.1)
+                        raise ValueError("bad DC size")
                     v = br.bits(s)
                     if s and v < (1 << (s - 1)):
                         v -= (1 << s) - 1
                     prev[cid] += v
+                    if not (-(1 << 30) < prev[cid] < (1 << 30)):
+                        raise ValueError("DC accumulator overflow")
                     coefs[cid][pos, 0] = prev[cid] << al
 
                 if interleaved:
@@ -1264,9 +1298,45 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
                             k += 1
                         eobrun -= 1
 
+    return _reconstruct(frame, coefs, qt, geom, hmax, vmax)
+
+
+def _frame_geom(frame):
+    """Frame → (hmax, vmax, mcux, mcuy, geom) with per-component
+    geom[cid] = (pwb, phb, cwb, chb): MCU-padded block grid for
+    storage, un-padded grid for non-interleaved scan order."""
+    fh, fw, comps = frame
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError("fractional sampling ratios")
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    geom = {}
+    for cid, _tq, hi, vi in comps:
+        pwb, phb = mcux * hi, mcuy * vi
+        cwb = -(-(-(-fw * hi // hmax)) // 8)
+        chb = -(-(-(-fh * vi // vmax)) // 8)
+        geom[cid] = (pwb, phb, cwb, chb)
+    return hmax, vmax, mcux, mcuy, geom
+
+
+def _ni_positions(geom, cid):
+    """Non-interleaved block order: raster over the component's own
+    (chb × cwb) grid, mapped into the padded row stride (T.81 A.2.2)."""
+    pwb, _phb, cwb, chb = geom[cid]
+    for row in range(chb):
+        base = row * pwb
+        for col in range(cwb):
+            yield base + col
+
+
+def _reconstruct(frame, coefs, qt, geom, hmax, vmax):
+    """Shared tail: dequant + IDCT per component over the padded block
+    grid, nearest-neighbor chroma upsample, crop, color-convert."""
+    fh, fw, comps = frame
     planes = []
-    for cid, *_ in comps:
-        tq, hi, vi = comp_info[cid]
+    for cid, tq, hi, vi in comps:
         if tq not in qt:
             raise ValueError("component references missing quant table")
         pwb, phb, _cwb, _chb = geom[cid]
@@ -1297,3 +1367,105 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_multiscan_sequential(frame, scans, qt, dc_luts, ac_luts):
+    """Baseline-sequential file whose components arrive over SEVERAL
+    scans (T.81 B.2.1): each scan carries complete (DC+AC) blocks for
+    its component subset — interleaved subsets walk the MCU grid,
+    single-component scans walk the component's own un-padded grid.
+    DRI restarts reset the scan's DC predictors every ``dri`` MCUs
+    (one data unit == one MCU in a non-interleaved scan, A.2.4). The
+    single-scan common case keeps decode_jpeg's hand-inlined hot loop;
+    this path trades speed for completeness on a rare legal layout."""
+    fh, fw, comps = frame
+    comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    hmax, vmax, mcux, mcuy, geom = _frame_geom(frame)
+    coefs = {
+        cid: np.zeros((geom[cid][0] * geom[cid][1], 64), dtype=np.int32)
+        for cid, *_ in comps
+    }
+    covered: set = set()
+    for scan, entropy, dri in scans:
+        for cid, td, ta in scan:
+            if cid not in comp_info:
+                raise ValueError("scan references unknown component")
+            if td not in dc_luts or ta not in ac_luts:
+                raise ValueError("scan references missing huffman table")
+            if comp_info[cid][0] not in qt:
+                raise ValueError(
+                    "component references missing quant table"
+                )
+            covered.add(cid)
+        # mcus[m] = list of (cid, td, ta, pos) data units of MCU m
+        if len(scan) > 1:  # interleaved subset: MCU walk
+            mcus = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                units = []
+                for cid, td, ta in scan:
+                    _tq, hi, vi = comp_info[cid]
+                    pwb = geom[cid][0]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            units.append(
+                                (cid, td, ta,
+                                 (my * vi + by) * pwb + (mx * hi + bx))
+                            )
+                mcus.append(units)
+        else:  # non-interleaved: one data unit per MCU, un-padded grid
+            cid, td, ta = scan[0]
+            mcus = [
+                [(cid, td, ta, pos)] for pos in _ni_positions(geom, cid)
+            ]
+        expected = -(-len(mcus) // dri) if dri else 1
+        if len(entropy) != expected:
+            raise ValueError(
+                f"restart segment count {len(entropy)} != expected "
+                f"{expected} (DRI={dri})"
+            )
+        br = _ScanReader(entropy[0])
+        seg_i = 0
+        prev = {cid: 0 for cid, _, _ in scan}
+        for m, units in enumerate(mcus):
+            if dri and m and m % dri == 0:
+                seg_i += 1
+                br = _ScanReader(entropy[seg_i])
+                for c in prev:
+                    prev[c] = 0
+            for cid, td, ta, pos in units:
+                block = coefs[cid][pos]
+                s = br.decode(dc_luts[td])
+                if s > 11:  # 8-bit DC magnitude category cap (F.1.2.1.1)
+                    raise ValueError("bad DC size")
+                v = br.bits(s)
+                if s and v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                prev[cid] += v
+                if not (-(1 << 30) < prev[cid] < (1 << 30)):
+                    raise ValueError("DC accumulator overflow")
+                block[0] = prev[cid]
+                k = 1
+                while k < 64:
+                    rs = br.decode(ac_luts[ta])
+                    r, sz = rs >> 4, rs & 0x0F
+                    if sz == 0:
+                        if rs == 0x00:  # EOB
+                            break
+                        if r != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    if sz > 10:  # 8-bit AC magnitude cap (F.1.2.2.1)
+                        raise ValueError("bad AC size")
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    v = br.bits(sz)
+                    if v < (1 << (sz - 1)):
+                        v -= (1 << sz) - 1
+                    block[k] = v
+                    k += 1
+    if covered != set(comp_info):
+        raise ValueError("scans do not cover every frame component")
+    return _reconstruct(frame, coefs, qt, geom, hmax, vmax)

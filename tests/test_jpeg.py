@@ -4,6 +4,8 @@ invariant (BASELINE.json input_hint: decoded pixels allclose, PSNR
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from bisque_spark.functions.jpeg import decode_jpeg, encode_jpeg, psnr
 from bisque_spark.synth import decode_image, image_pixels, synth_image
@@ -85,17 +87,48 @@ def test_non_baseline_raises_not_implemented():
         decode_jpeg(bytes(data))
 
 
-def test_multi_scan_baseline_raises_not_implemented():
-    """A second SOS in a non-progressive frame must raise (decoding
-    only the last scan would be a silently wrong image)."""
-    img = _gradient(16, 16)
-    data = encode_jpeg(img, quality=90)
-    sos = data.find(b"\xff\xda")
-    assert sos > 0 and data[-2:] == b"\xff\xd9"
-    # splice a copy of the first scan (SOS..entropy) before EOI
-    doctored = data[:-2] + data[sos:-2] + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
-        decode_jpeg(doctored)
+def test_multi_scan_baseline_roundtrip():
+    """A legal baseline file whose components arrive over several
+    non-interleaved scans (T.81 B.2.1) decodes identically to the
+    interleaved single-scan form — the layout many decoders silently
+    get wrong (round-4 ADVICE: the old code kept only the LAST scan)."""
+    img = _gradient(37, 53)
+    for sub in ("444", "420", "422"):
+        for ri in (0, 3):
+            base = decode_jpeg(
+                encode_jpeg(img, 85, subsampling=sub, restart_interval=ri)
+            )
+            ms_bytes = encode_jpeg(
+                img, 85, subsampling=sub, restart_interval=ri,
+                multi_scan=True,
+            )
+            assert ms_bytes.count(b"\xff\xda") == 3
+            assert (decode_jpeg(ms_bytes) == base).all(), (sub, ri)
+    # a multi-scan file missing a component is structurally invalid
+    data = encode_jpeg(img, 85, multi_scan=True)
+    second = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    with pytest.raises(ValueError, match="cover every frame component"):
+        decode_jpeg(data[:second] + b"\xff\xd9")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 25))
+def test_multi_scan_fuzz_contained(seed, nflips):
+    """Bit-flips/truncations of multi-scan baseline streams are
+    contained like every other profile."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    data = bytearray(
+        encode_jpeg(img, quality=80, subsampling="420", multi_scan=True)
+    )
+    for _ in range(nflips):
+        data[rng.randint(2, len(data))] ^= 1 << rng.randint(8)
+    for payload in (bytes(data), bytes(data[: rng.randint(2, len(data))])):
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_truncated_stream_raises_value_error():
@@ -220,9 +253,6 @@ def test_restart_segment_count_mismatch_rejected():
     with pytest.raises(ValueError, match="restart segment count"):
         decode_jpeg(bytes(d))
 
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
 
 @settings(max_examples=200, deadline=None)
