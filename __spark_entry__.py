@@ -1216,10 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
-        # -- 6 rows-only (oracle = reference/numpy via pytest) -------------
-        "extract_captions": _q_extract_captions,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        # -- 4 rows-only (oracle = reference-diff via pytest; grading
+        #    them through engine-computed VALUES would be circular) ----
+        "extract_captions": _q_extract_captions,
         "validate_images": _q_validate_images,
         "parse_pipeline": _q_parse_pipeline,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -1452,6 +1453,91 @@ def _lsh_embedding_oracle_sql() -> str:
         """
 
 
+def _round_like_spark(x: float, places: int = 4) -> float:
+    """Mirror F.round on a double: Spark rounds HALF_UP over the
+    shortest decimal repr (BigDecimal.valueOf), which is exactly
+    Decimal(repr(x)) in Python — so fixture oracles can pre-round
+    driver-side instead of relying on DuckDB's double rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _audio_features_oracle_sql() -> str:
+    """Fixture oracle for _q_audio_features: the 100 deterministic PCM
+    clips are re-derived driver-side (synth_audio bytes → int16 →
+    duration/rms/peak via the same numpy formulas the pytest oracle
+    uses) and embedded pre-rounded; the hash row then pins the
+    distributed Arrow decode path end to end."""
+    import numpy as np
+
+    from bisque_spark.operators.multimodal import synth_audio
+
+    rows = []
+    for i in range(100):
+        mid = f"au-{i}"
+        a = synth_audio(mid)
+        wave = np.frombuffer(a["bytes"], dtype=np.int16)
+        f = wave.astype(np.float64)
+        dur = _round_like_spark(len(wave) / a["sample_rate"])
+        rms = _round_like_spark(float(np.sqrt((f * f).mean())))
+        peak = _round_like_spark(float(np.abs(f).max()))
+        rows.append(
+            f"('{mid}', '{a['fmt']}', CAST({a['sample_rate']} AS INTEGER),"
+            f" CAST({dur!r} AS DOUBLE), CAST({rms!r} AS DOUBLE),"
+            f" CAST({peak!r} AS DOUBLE))"
+        )
+    vals = ",\n                   ".join(rows)
+    return f"""
+            SELECT * FROM (
+                VALUES {vals}
+            ) AS t(media_id, fmt, sample_rate, duration_s, rms, peak)
+        """
+
+
+def _image_features_oracle_sql() -> str:
+    """Fixture oracle for _q_image_features: the 200 deterministic
+    images are re-derived driver-side (synth_image bytes →
+    decode_image → channel means + linspace nearest-neighbor
+    thumbnail → md5), pre-rounded with the Spark round semantics.
+    The codec itself is pinned by test_jpeg's exactness oracles; this
+    hash row pins the fused decode-once pipeline's distributed
+    execution."""
+    import hashlib
+
+    import numpy as np
+
+    from bisque_spark.synth import decode_image, synth_image
+
+    rows = []
+    for i in range(200):
+        iid = f"img-bench-{i}"
+        meta = synth_image(iid)
+        w, h, fmt = meta["w"], meta["h"], meta["fmt"]
+        arr = np.frombuffer(
+            decode_image(bytes(meta["bytes"]), fmt), dtype=np.uint8
+        ).reshape(h, w, 3)
+        means = [
+            _round_like_spark(float(arr[..., c].mean())) for c in range(3)
+        ]
+        ys = np.linspace(0, h - 1, min(8, h)).astype(int)
+        xs = np.linspace(0, w - 1, min(8, w)).astype(int)
+        md5 = hashlib.md5(arr[np.ix_(ys, xs)].tobytes()).hexdigest()
+        rows.append(
+            f"('{iid}', CAST({w} AS INTEGER), CAST({h} AS INTEGER),"
+            f" '{fmt}', CAST({means[0]!r} AS DOUBLE),"
+            f" CAST({means[1]!r} AS DOUBLE), CAST({means[2]!r} AS DOUBLE),"
+            f" '{md5}')"
+        )
+    vals = ",\n                   ".join(rows)
+    return f"""
+            SELECT * FROM (
+                VALUES {vals}
+            ) AS t(image_id, w, h, fmt, mean_r, mean_g, mean_b, thumb_md5)
+        """
+
+
 def _phash_pairs_oracle_sql() -> str:
     """Exact all-pairs Hamming oracle for _q_image_phash_pairs: the
     same 120 (caption-label, phash) rows the Spark query materializes,
@@ -1671,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_pairs_oracle_sql(),
         "doc_dup_clusters": _dup_clusters_oracle_sql(),
         "lsh_embedding_pairs": _lsh_embedding_oracle_sql(),
+        "image_features": _image_features_oracle_sql(),
+        "audio_features": _audio_features_oracle_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
