@@ -76,4 +76,19 @@ def test_authority_weighted_crawl_matches_oracle(spark, tmp_path_factory):
         (e, h, rk, uh) for (e, h, rk, p, uh, u) in sorted(oracle2["order"])
     ]
     assert seq_base != seq_auth
+
+    # kill-and-resume under authority: the resumed crawl is handed the
+    # SAME authority table (determinism contract) and must reproduce
+    # the uninterrupted run bit-identically
+    wd3 = str(tmp_path_factory.mktemp("crawl_auth_resume"))
+    run_crawl(
+        spark, WORLD, seed_urls(WORLD), workdir=wd3,
+        max_epochs=2, authority=auth_df, authority_weight=WEIGHT,
+    )
+    res3 = run_crawl(
+        spark, WORLD, seed_urls(WORLD), workdir=wd3,
+        max_epochs=MAX_EPOCHS, resume=True,
+        authority=auth_df, authority_weight=WEIGHT,
+    )
+    assert _order_tuples(spark, res3) == got
     release_caches()
