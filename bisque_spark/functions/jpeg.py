@@ -573,6 +573,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS")
             ns = seg[0]
+            if not 1 <= ns <= 4:  # B.2.3: 1 <= Ns <= 4
+                raise ValueError("bad scan component count")
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
