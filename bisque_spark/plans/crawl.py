@@ -445,7 +445,7 @@ def run_crawl(
         junction.write.mode("overwrite").partitionBy("table").parquet(
             os.path.join(d, "junction")
         )
-        t = _tick("junction write (6 slices, 1 job)", t)
+        t = _tick("junction write (7 slices, 1 job)", t)
 
         # periodic state compaction: collapse the delta chains into one
         # base so the read-side union width stays bounded (a 10^4-epoch
