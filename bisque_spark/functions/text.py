@@ -500,3 +500,66 @@ def repetition_stats(
             F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
         )
     )
+
+
+def dedup_lines_corpus(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 6,
+):
+    """Corpus-level line deduplication (the CCNet preprocessing step:
+    drop lines duplicated ACROSS documents, keeping the first
+    occurrence in (id, line-index) order — boilerplate navigation/
+    footer lines vanish from every copy but one).
+
+    Fully relational and skew-proof at 100 TB: the keeper per distinct
+    line is `min(struct(id, idx))` under a hash-partitioned groupBy —
+    map-side partial aggregation absorbs hot lines (an "accept
+    cookies" line with 10^8 occurrences combines locally; a window
+    rank over partitionBy(line) would funnel it through one task).
+    Lines shorter than ``min_chars`` (blank lines, list bullets) are
+    never deduplicated. Reassembly preserves each document's original
+    line order via array_sort over (idx, line) structs.
+
+    → (id_col, text, n_lines, n_lines_kept); text is the surviving
+    lines joined by "\\n" ("" when every line was a duplicate).
+    Deterministic: pure function of the input, ties impossible
+    ((id, idx) is unique).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("__idx", "__line"),
+    )
+    long_lines = lines.where(F.length("__line") >= min_chars)
+    keepers = long_lines.groupBy("__line").agg(
+        F.min(F.struct("__id", "__idx")).alias("__k")
+    ).select(
+        F.col("__k.__id").alias("__id"),
+        F.col("__k.__idx").alias("__idx"),
+        "__line",
+    )
+    kept = keepers.unionByName(
+        lines.where(F.length("__line") < min_chars)
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )

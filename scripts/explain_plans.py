@@ -222,7 +222,35 @@ def authority_schedule_plan(spark):
     return scheduled
 
 
+def dedup_lines_plan(spark):
+    """Plan for corpus line dedup: the keeper per line must come from
+    a hash-partitioned groupBy MIN (map-side partial aggregation
+    absorbs hot boilerplate lines) — never a window rank partitioned
+    by the line, which would funnel a 10^8-occurrence line through
+    one task."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import dedup_lines_corpus
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate line\nbody "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines_corpus(docs)
+
+
 EXTRA_CHECKS = {
+    "dedup_lines_corpus (line keeper)": (
+        dedup_lines_plan,
+        [
+            ("partial_min|HashAggregate", "keeper = map-side partial MIN"),
+            (r"!Window.*__line", "no per-line window rank (skew funnel)"),
+            ("!EvalPython", "pure JVM"),
+        ],
+    ),
     "authority-weighted schedule": (
         authority_schedule_plan,
         [

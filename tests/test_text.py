@@ -335,3 +335,72 @@ def test_repetition_stats_equals_column_form(spark):
         for row in repetition_stats(docs).collect()
     }
     assert rel_form == col_form
+
+
+# ---- corpus-level line dedup (CCNet preprocessing step) --------------------
+
+
+def _dedup_lines_py(rows, min_chars=6):
+    """Independent Python oracle: keeper per long line = min (id, idx)."""
+    keeper = {}
+    for did, text in rows:
+        for i, line in enumerate((text or "").split("\n")):
+            if len(line) >= min_chars:
+                k = keeper.get(line)
+                if k is None or (did, i) < k:
+                    keeper[line] = (did, i)
+    out = {}
+    for did, text in rows:
+        lines = (text or "").split("\n")
+        kept = [
+            line
+            for i, line in enumerate(lines)
+            if len(line) < min_chars or keeper[line] == (did, i)
+        ]
+        out[did] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_dedup_lines_corpus_matches_python_oracle(spark):
+    from bisque_spark.functions.text import dedup_lines_corpus
+
+    boiler = "Accept cookies to continue browsing"
+    nav = "Home | About | Contact"
+    rows = [
+        (1, f"{boiler}\nunique first doc line\n{nav}"),
+        (2, f"{boiler}\nsecond doc body\n{nav}\n-\n"),
+        (3, f"third doc body\n{boiler}"),
+        (4, ""),
+        (5, None),
+        (6, "-\n-\n-"),  # short lines: never deduplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+        for r in dedup_lines_corpus(df).collect()
+    }
+    want = _dedup_lines_py(rows)
+    assert got == want
+    # the boilerplate survives exactly once, in the (id, idx)-first doc
+    assert boiler in got[1][0]
+    assert boiler not in got[2][0] and boiler not in got[3][0]
+    assert got[6][0] == "-\n-\n-"  # short lines untouched
+
+
+def test_dedup_lines_corpus_idempotent_and_testdata(spark):
+    from bisque_spark.functions.text import dedup_lines_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    once = dedup_lines_corpus(docs).select("doc_id", "text")
+    rows1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    want = _dedup_lines_py(
+        [(r["doc_id"], r["text"]) for r in
+         docs.select("doc_id", "text").collect()]
+    )
+    assert rows1 == {k: v[0] for k, v in want.items()}
+    # idempotence: every surviving long line is now globally unique
+    twice = dedup_lines_corpus(
+        once.withColumnRenamed("text", "text")
+    ).select("doc_id", "text")
+    rows2 = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert rows2 == rows1
