@@ -4,6 +4,8 @@ plans/crawl.py for the document/embedding side of the engine.
 One deterministic pass from raw documents to a curated, deduplicated,
 diversity-sampled corpus in the snapshot catalog:
 
+ 0. line dedup        — optional CCNet step: cross-document boilerplate
+                        lines keep one occurrence (text.dedup_lines_corpus)
  1. quality gate      — token/stopword stats + langid (JVM exprs)
  2. safety scrub      — PII redaction (emails/phones/IPs → placeholders)
  3. repetition gate   — Gopher-style dup-line / top-2-gram signals
@@ -41,6 +43,7 @@ def run_curation(
     near_dup_threshold: float = 0.5,
     sample_per_cell: int = 50,
     n_cells: int = 8,
+    dedup_lines: bool = False,
 ) -> dict:
     """documents(doc_id, text, ...) + embeddings(vec_id, embedding) →
     curated corpus in the catalog at ``workdir``; returns stage counts.
@@ -60,6 +63,19 @@ def run_curation(
     from bisque_spark.util import pin, release_caches
 
     counts: dict[str, int] = {"input": documents.count()}
+
+    # 0 (optional): corpus-level line dedup — the CCNet preprocessing
+    # step: cross-document boilerplate lines vanish from every copy
+    # but the first BEFORE quality signals are computed, so nav bars /
+    # cookie banners don't inflate dup_line_frac or token counts.
+    # Doc count is unchanged (lines shrink, docs never drop here).
+    if dedup_lines:
+        from bisque_spark.functions.text import dedup_lines_corpus
+
+        documents = pin(
+            dedup_lines_corpus(documents).select("doc_id", "text")
+        )
+        counts["after_line_dedup"] = documents.count()
 
     # 1-3: one scan, pure Column expressions
     q = quality_cols("text")

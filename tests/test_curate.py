@@ -52,6 +52,36 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert counts2["catalog_version"] == 2  # a new snapshot, same rows
 
 
+def test_curation_with_line_dedup_stage(spark, tmp_path):
+    """dedup_lines=True strips cross-document boilerplate BEFORE the
+    quality gate: the funnel stays monotone and exactly one surviving
+    catalog row still carries the boilerplate line."""
+    docs, embs = _tables(spark)
+    boiler = "Accept all cookies to continue reading this website now"
+    docs_b = docs.select(
+        "doc_id",
+        F.concat(F.lit(boiler + "\n"), F.col("text")).alias("text"),
+    )
+    wd = str(tmp_path / "cat_lines")
+    counts = run_curation(
+        spark, docs_b, embs, wd, sample_per_cell=10, dedup_lines=True
+    )
+    assert counts["after_line_dedup"] == counts["input"]  # docs never drop
+    assert (
+        counts["input"]
+        >= counts["after_quality"]
+        >= counts["after_lm"]
+        >= counts["after_dedup"]
+        >= counts["final"]
+        > 0
+    )
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    out = ParquetCatalog(spark, wd).read("curated")
+    n_boiler = out.where(F.col("text").contains(boiler)).count()
+    assert n_boiler <= 1  # at most the first-occurrence doc keeps it
+
+
 def test_curation_duplicate_embedding_rows_never_duplicate_docs(
     spark, tmp_path
 ):
