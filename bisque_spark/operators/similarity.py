@@ -409,3 +409,59 @@ def diversity_sample(
         .where(F.col("__rk") <= k_per_cell)
         .drop("__rk")
     )
+
+
+# ---- int8 embedding quantization (storage path) --------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector affine int8 quantization: float embedding →
+    (q array<tinyint>, lo double, scale double) with
+    value ≈ lo + (q + 128)·scale. 4× smaller at rest than float32
+    (16× vs float64) — at 10^10 embeddings the difference between a
+    40 TB and a 10 TB table — with reconstruction error ≤ scale/2
+    per component (scale = (max−min)/255 of THAT vector, so outliers
+    in one vector never cost precision in another).
+
+    Pure Column expressions (array_min/max + transform, whole-stage
+    codegen): no UDF, no shuffle — a map-only rewrite of the table.
+    Rounding is floor(x+0.5) (round-half-up), mirrored exactly by the
+    numpy twin in tests. Constant vectors (max == min) quantize to
+    q = −128 everywhere with scale 0 and reconstruct exactly.
+    """
+    v = _vec_as_double(vec_col)
+    lo = F.array_min(v)
+    scale = (F.array_max(v) - lo) / F.lit(255.0)
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: (
+            F.floor((x - lo) / safe + F.lit(0.5)).cast("int") - F.lit(128)
+        ).cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        lo.alias("lo"),
+        scale.alias("scale"),
+    )
+
+
+def dequantize_col(
+    q: str | F.Column = "q",
+    lo: str | F.Column = "lo",
+    scale: str | F.Column = "scale",
+) -> F.Column:
+    """(q, lo, scale) → array<double> reconstruction (for search over
+    a quantized table: dequantize on the fly inside the scan — the
+    decode is a codegen'd map, never a join or a UDF)."""
+    qc = F.col(q) if isinstance(q, str) else q
+    loc = F.col(lo) if isinstance(lo, str) else lo
+    sc = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(
+        qc, lambda x: loc + (x.cast("double") + F.lit(128.0)) * sc
+    )

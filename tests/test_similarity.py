@@ -285,3 +285,84 @@ def test_diversity_sample_stratified_and_deterministic(spark):
         """).fetchall()
     }
     assert set(rows) == want
+
+
+# ---- int8 quantization (embedding storage path) --------------------------
+
+
+def test_quantize_matches_numpy_twin_and_error_bound(spark):
+    import numpy as np
+
+    from bisque_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = [rng.randn(16).astype(np.float32) * (i % 5 + 0.1) for i in range(40)]
+    vecs.append(np.full(16, 2.5, dtype=np.float32))  # constant vector
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in out.collect()}
+    for i, v in enumerate(vecs):
+        v = v.astype(np.float64)
+        lo, hi = v.min(), v.max()
+        scale = (hi - lo) / 255.0
+        safe = scale if scale > 0 else 1.0
+        q = (np.floor((v - lo) / safe + 0.5).astype(int) - 128).astype(np.int8)
+        r = got[i]
+        assert list(r["q"]) == q.tolist(), i  # bit-identical to the twin
+        assert abs(r["lo"] - lo) < 1e-12 and abs(r["scale"] - scale) < 1e-15
+        recon = lo + (q.astype(np.float64) + 128.0) * scale
+        assert np.abs(recon - v).max() <= scale / 2 + 1e-12  # error bound
+    # constant vector reconstructs exactly
+    r = got[len(vecs) - 1]
+    assert r["scale"] == 0.0 and set(r["q"]) == {-128}
+
+    deq = {
+        r["vec_id"]: r["d"]
+        for r in out.select(
+            "vec_id", dequantize_col().alias("d")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        v = v.astype(np.float64)
+        scale = (v.max() - v.min()) / 255.0
+        assert np.abs(np.array(deq[i]) - v).max() <= scale / 2 + 1e-12
+
+
+def test_knn_over_quantized_embeddings_recall(spark):
+    """Search over the dequantized int8 table: top-10 recall vs exact
+    float search stays >= 0.9 on the real embeddings table."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.similarity import (
+        cosine_col,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in q])
+
+    def topk(df, vec):
+        return [
+            r["vec_id"]
+            for r in df.select(
+                "vec_id", cosine_col(vec, qlit).alias("c")
+            )
+            .where(F.col("vec_id") != 3)
+            .orderBy(F.desc("c"), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    exact = topk(emb, F.transform("embedding", lambda x: x.cast("double")))
+    quant = quantize_embeddings(emb).withColumn("d", dequantize_col())
+    approx = topk(quant, F.col("d"))
+    assert len(set(exact) & set(approx)) >= 9
