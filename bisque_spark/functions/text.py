@@ -563,3 +563,36 @@ def dedup_lines_corpus(
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
     )
+
+
+def compression_ratio_py(text: str) -> float:
+    """zlib(level 6) compressed-to-raw byte ratio of the UTF-8 text —
+    the Gopher-style redundancy signal: heavily repeated boilerplate
+    compresses far below natural prose (≈0.3–0.6), while random junk
+    stays near (or above) 1.0. Empty text → 1.0 (neutral)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 1.0
+    return len(zlib.compress(data, 6)) / len(data)
+
+
+def _compression_ratio_series(texts: pd.Series) -> pd.Series:
+    import zlib
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append(1.0)
+            continue
+        data = t.encode("utf-8")
+        out.append(len(zlib.compress(data, 6)) / len(data))
+    return pd.Series(out, dtype="float64")
+
+
+def compression_ratio_udf(col):
+    """Arrow-batched zlib ratio (no JVM deflate expression exists; the
+    per-doc compress IS the work, so the Python boundary is paid once
+    per batch, not per row). Deterministic for a fixed zlib level."""
+    return F.pandas_udf(_compression_ratio_series, "double")(col)

@@ -404,3 +404,40 @@ def test_dedup_lines_corpus_idempotent_and_testdata(spark):
     ).select("doc_id", "text")
     rows2 = {r["doc_id"]: r["text"] for r in twice.collect()}
     assert rows2 == rows1
+
+
+def test_compression_ratio_signal(spark):
+    """zlib-ratio quality signal: repeated boilerplate compresses far
+    below natural text; Spark output == the Python twin exactly."""
+    import numpy as np
+
+    from bisque_spark.functions.text import (
+        compression_ratio_py,
+        compression_ratio_udf,
+    )
+
+    rng = np.random.RandomState(4)
+    natural = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors argue about the weather in a harbor tavern tonight"
+    )
+    rows = [
+        (1, "click here to accept cookies\n" * 60),          # boilerplate
+        (2, " ".join(natural.split()[i % 20] for i in range(300))),
+        (3, "".join(chr(rng.randint(0x21, 0x7F)) for _ in range(800))),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", compression_ratio_udf(F.col("text")).alias("ratio")
+        ).collect()
+    }
+    for did, text in rows:
+        assert got[did] == compression_ratio_py(text or ""), did
+    assert got[1] < 0.1          # repeated boilerplate: crushed
+    assert got[1] < got[2] < got[3]  # monotone in redundancy
+    assert got[3] > 0.8          # random chars: near-incompressible
+    assert got[4] == got[5] == 1.0
