@@ -193,11 +193,14 @@ class ParquetCatalog:
                 f"table {name!r} has no snapshot {v} (retained: "
                 f"{sorted(int(k) for k in m['snapshots'])})"
             ) from None
+        # schema evolution: a snapshot reads with the schema it was
+        # committed under (Iceberg time-travel semantics)
+        schema = self._schema_for_version(m, v)
         if not files:
-            return self.spark.createDataFrame([], schema=m["schema"])
+            return self.spark.createDataFrame([], schema=schema)
         data = self._data(name)
         return (
-            self.spark.read.schema(m["schema"])
+            self.spark.read.schema(schema)
             .option("basePath", data)
             .parquet(*[os.path.join(data, f) for f in files])
         )
@@ -480,6 +483,116 @@ class ParquetCatalog:
             except FileNotFoundError:
                 pass
         return expired
+
+    # -- schema evolution (metadata-only commits) --------------------------
+    def _schema_for_version(self, m: dict, version: int) -> str:
+        """Per-snapshot schema (Iceberg reads a snapshot with the
+        schema it was committed under): the newest schema entry at or
+        below ``version``; tables predating evolution fall back to the
+        manifest's base schema."""
+        hist = m.get("schema_at", {})
+        eligible = [int(v) for v in hist if int(v) <= version]
+        return hist[str(max(eligible))] if eligible else m["schema"]
+
+    def add_column(self, name: str, column_ddl: str) -> None:
+        """ADD COLUMN as a metadata-only commit (Iceberg schema
+        evolution): no data file is touched; existing rows read the
+        new column as NULL (parquet schema projection), new writes
+        carry it. Snapshots before the change keep reading with their
+        own schema (time travel is schema-faithful)."""
+        from pyspark.sql.types import StructType
+
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            new_field = StructType.fromDDL(column_ddl)
+            current = StructType.fromDDL(m["schema"])
+            for f in new_field.fields:
+                if f.name in current.fieldNames():
+                    raise ValueError(f"column {f.name!r} already exists")
+            hist = m.setdefault("schema_at", {})
+            hist.setdefault(str(m["version"]), m["schema"])
+            m["schema"] = m["schema"] + ", " + column_ddl
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = list(
+                m["snapshots"][str(m["version"] - 1)]
+            )
+            hist[str(m["version"])] = m["schema"]
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
+            self._write_manifest(name, m)
+
+    def drop_column(self, name: str, column: str) -> None:
+        """DROP COLUMN as a metadata-only commit: the data files still
+        carry the bytes (Iceberg semantics — dropped columns are
+        projection, not rewrite); current reads no longer see it,
+        pre-drop snapshots still do."""
+        from pyspark.sql.types import StructType
+
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            current = StructType.fromDDL(m["schema"])
+            if column not in current.fieldNames():
+                raise ValueError(f"no column {column!r}")
+            if column in m["partition_by"] or column == m.get("stats_key"):
+                raise ValueError(
+                    f"column {column!r} is load-bearing (partition or "
+                    "stats key)"
+                )
+            kept = [f for f in current.fields if f.name != column]
+            hist = m.setdefault("schema_at", {})
+            hist.setdefault(str(m["version"]), m["schema"])
+            m["schema"] = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in kept
+            )
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = list(
+                m["snapshots"][str(m["version"] - 1)]
+            )
+            hist[str(m["version"])] = m["schema"]
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
+            self._write_manifest(name, m)
+
+    # -- DELETE (copy-on-write) --------------------------------------------
+    def delete_where(self, name: str, predicate: str) -> int:
+        """DELETE FROM ... WHERE as Iceberg copy-on-write: only data
+        files that CONTAIN a matching row are rewritten (without those
+        rows); every untouched file is carried into the new snapshot
+        by reference. Previous snapshots keep the deleted rows (time
+        travel). Returns the number of rows deleted."""
+        with self._commit_lock(name):
+            m = self._read_manifest(name)
+            prev = m["snapshots"][str(m["version"])]
+            if not prev:
+                return 0
+            data = os.path.realpath(self._data(name))
+            src = self._read_files(name, m["schema"], prev)
+            hit_rows = (
+                src.where(predicate)
+                .groupBy(F.input_file_name().alias("__file"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            if not hit_rows:
+                return 0
+            deleted = sum(r["n"] for r in hit_rows)
+            hit = set()
+            for r in hit_rows:
+                p = r["__file"]
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                hit.add(os.path.relpath(os.path.realpath(p), data))
+            carried = [f for f in prev if f not in hit]
+            survivors = self._read_files(
+                name, m["schema"], [f for f in prev if f in hit]
+            ).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+            new_files = self._stage_files(
+                name, survivors, m["partition_by"]
+            )
+            self._record_stats(name, m, new_files)
+            m["version"] += 1
+            m["snapshots"][str(m["version"])] = sorted(carried) + new_files
+            m.setdefault("committed_at", {})[str(m["version"])] = time.time()
+            self._write_manifest(name, m)
+            return deleted
 
 
 def get_catalog(spark: SparkSession, root: str):

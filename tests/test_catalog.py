@@ -541,3 +541,74 @@ def test_catalog_model_based_random_op_sequences(spark, tmp_path):
                     for r in cat.read("m", version=v).collect()
                 }
                 assert snap == history[v], f"snapshot v{v} mismatch"
+
+
+def test_schema_evolution_add_and_drop(spark, cat):
+    """ADD/DROP COLUMN are metadata-only commits: no data file is
+    rewritten, old rows read the new column as NULL, and time travel
+    is schema-faithful (pre-change snapshots keep their own schema)."""
+    import json
+    import os
+
+    schema = "image_id string, caption string"
+    cat.create_table("evo", schema)
+    cat.append("evo", spark.createDataFrame(
+        [("a", "x"), ("b", "y")], schema).coalesce(1))   # v1
+    m1 = json.load(open(os.path.join(cat.root, "evo", "_manifest.json")))
+    v1_files = set(m1["snapshots"]["1"])
+
+    cat.add_column("evo", "score double")                # v2, metadata-only
+    m2 = json.load(open(os.path.join(cat.root, "evo", "_manifest.json")))
+    assert set(m2["snapshots"]["2"]) == v1_files         # same physical files
+    cur = cat.read("evo")
+    assert cur.columns == ["image_id", "caption", "score"]
+    assert {r["score"] for r in cur.collect()} == {None}  # null backfill
+    # time travel to v1 reads with the OLD schema
+    assert cat.read("evo", version=1).columns == ["image_id", "caption"]
+
+    # new writes carry the column; old files still project NULL
+    cat.append("evo", spark.createDataFrame(
+        [("c", "z", 0.5)], "image_id string, caption string, score double"
+    ).coalesce(1))                                       # v3
+    rows = {r["image_id"]: r["score"] for r in cat.read("evo").collect()}
+    assert rows == {"a": None, "b": None, "c": 0.5}
+
+    cat.drop_column("evo", "caption")                    # v4, metadata-only
+    cur = cat.read("evo")
+    assert cur.columns == ["image_id", "score"]
+    assert cat.read("evo", version=3).columns == [
+        "image_id", "caption", "score"
+    ]  # pre-drop snapshot still sees it
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_column("evo", "score double")
+    with pytest.raises(ValueError, match="no column"):
+        cat.drop_column("evo", "nope")
+
+
+def test_delete_where_copy_on_write(spark, cat):
+    """DELETE ... WHERE rewrites ONLY files containing matching rows
+    (others carried by reference); previous snapshots keep the rows."""
+    import json
+    import os
+
+    schema = "image_id string, n int"
+    cat.create_table("del", schema, stats_key="image_id")
+    cat.append("del", spark.createDataFrame(
+        [("a1", 1), ("a2", 2)], schema).coalesce(1))     # file A
+    cat.append("del", spark.createDataFrame(
+        [("m1", 3), ("m2", 4)], schema).coalesce(1))     # file B
+    n = cat.delete_where("del", "n >= 3 AND image_id = 'm1'")
+    assert n == 1
+    m = json.load(open(os.path.join(cat.root, "del", "_manifest.json")))
+    v2, v3 = set(m["snapshots"]["2"]), set(m["snapshots"]["3"])
+    stats = m["file_stats"]
+    file_a = next(f for f in v2 if stats[f][0] == "a1")
+    assert file_a in v3                                   # carried untouched
+    rows = {(r["image_id"], r["n"]) for r in cat.read("del").collect()}
+    assert rows == {("a1", 1), ("a2", 2), ("m2", 4)}
+    # time travel: the deleted row is still in snapshot 2
+    old = {(r["image_id"], r["n"]) for r in cat.read("del", version=2).collect()}
+    assert ("m1", 3) in old
+    # no-match delete is a no-op (no new snapshot)
+    assert cat.delete_where("del", "n > 100") == 0
+    assert cat.version("del") == 3
