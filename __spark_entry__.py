@@ -612,8 +612,10 @@ def _q_image_features(spark, sf_dir):
 def _q_validate_images(spark, sf_dir):
     """Pydantic-style batch validation over the images sink rows
     (north_star: 'Pydantic field-extraction/validation schemas
-    re-expressed as pandas UDF batch validators'). Oracle =
-    tests/test_validate.py vs a real Pydantic model; rows-only here."""
+    re-expressed as pandas UDF batch validators'). Hash-graded (r5)
+    via a driver-side fixture of the same spec machinery; the
+    INDEPENDENT oracle (real Pydantic model, verdict-for-verdict) is
+    tests/test_validate.py."""
     from bisque_spark.operators.extract import materialize_images_batches
     from bisque_spark.operators.validate import validate_images
 
@@ -1218,10 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_pairs": _q_lsh_embedding_pairs,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
-        # -- 4 rows-only (oracle = reference-diff via pytest; grading
+        "validate_images": _q_validate_images,
+        # -- 3 rows-only (oracle = reference-diff via pytest; grading
         #    them through engine-computed VALUES would be circular) ----
         "extract_captions": _q_extract_captions,
-        "validate_images": _q_validate_images,
         "parse_pipeline": _q_parse_pipeline,
         "emb_ivf_topk": _q_emb_ivf_topk,
     }
@@ -1538,6 +1540,46 @@ def _image_features_oracle_sql() -> str:
         """
 
 
+def _validate_images_oracle_sql() -> str:
+    """Fixture oracle for _q_validate_images: the 300 deterministic
+    image rows are validated driver-side with the same spec machinery
+    (validate_rows) and embedded as VALUES — pinning the distributed
+    Arrow execution; the INDEPENDENT semantic oracle (a real Pydantic
+    model must agree verdict-for-verdict) lives in
+    tests/test_validate.py."""
+    import pandas as pd
+
+    from bisque_spark.operators.validate import IMAGES_SPEC, validate_rows
+    from bisque_spark.synth import synth_image
+
+    rows = []
+    for i in range(300):
+        iid = f"img-q-{i}"
+        meta = synth_image(iid)
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": meta["bytes"],
+                "w": meta["w"],
+                "h": meta["h"],
+                "fmt": meta["fmt"],
+                "caption": "cap",
+                "phash": meta["phash"],
+            }
+        )
+    valid, errors = validate_rows(pd.DataFrame(rows), IMAGES_SPEC)
+    vals = ",\n                   ".join(
+        f"('{r['image_id']}', CAST({bool(v)} AS BOOLEAN),"
+        f" CAST({len(e)} AS INTEGER))"
+        for r, v, e in zip(rows, valid, errors)
+    )
+    return f"""
+            SELECT * FROM (
+                VALUES {vals}
+            ) AS t(image_id, valid, n_errors)
+        """
+
+
 def _phash_pairs_oracle_sql() -> str:
     """Exact all-pairs Hamming oracle for _q_image_phash_pairs: the
     same 120 (caption-label, phash) rows the Spark query materializes,
@@ -1759,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embedding_pairs": _lsh_embedding_oracle_sql(),
         "image_features": _image_features_oracle_sql(),
         "audio_features": _audio_features_oracle_sql(),
+        "validate_images": _validate_images_oracle_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
