@@ -80,15 +80,22 @@ def with_frontier_columns(
     return out
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(
+    frontier: DataFrame, robots: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Drop URLs whose path is under a disallowed prefix for the host.
 
-    robots(host, crawl_delay, disallow array<string>) is a small dim
-    table → broadcast hash join; the prefix match is a JVM-side
-    ``exists(startswith)`` over the (tiny) disallow array — no Python.
+    robots(host, crawl_delay, disallow array<string>) is usually a
+    small dim table → broadcast hash join; the prefix match is a
+    JVM-side ``exists(startswith)`` over the (tiny) disallow array —
+    no Python. At web scale (10^8 hosts the robots table no longer
+    fits an executor) pass ``broadcast=False``: the join becomes a
+    host-keyed shuffle co-partitioned with the politeness rank's own
+    host shuffle, so the extra exchange is shared, not added.
     """
     path = F.parse_url(F.col("url"), F.lit("PATH"))
-    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    rb = F.broadcast(robots) if broadcast else robots
+    joined = frontier.join(rb, on="host", how="left")
     allowed = joined.where(
         F.col("disallow").isNull()
         | ~F.exists(

@@ -81,3 +81,32 @@ def test_single_phase_equals_two_phase(spark):
     assert sorted(r["url_hash"] for r in d1.collect()) == sorted(
         r["url_hash"] for r in d2.collect()
     )
+
+
+def test_apply_robots_shuffle_join_equals_broadcast(spark):
+    """broadcast=False (the 10^8-host path) is result-identical to the
+    broadcast dim join."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.schedule import apply_robots
+
+    fr = spark.range(200).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 10).cast("string"),
+            F.lit(".test/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".test")).alias("host"),
+    )
+    robots = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".test")).alias("host"),
+        (1.0 + (F.col("id") % 3)).alias("crawl_delay"),
+        F.when(F.col("id") % 2 == 0, F.array(F.lit("/p1")))
+        .otherwise(F.array().cast("array<string>")).alias("disallow"),
+    )
+    a = sorted(r["url"] for r in apply_robots(fr, robots).collect())
+    b = sorted(
+        r["url"] for r in apply_robots(fr, robots, broadcast=False).collect()
+    )
+    assert a == b and len(a) > 0
