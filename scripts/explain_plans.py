@@ -222,6 +222,23 @@ def authority_schedule_plan(spark):
     return scheduled
 
 
+def quantize_plan(spark):
+    """Plan for int8 embedding quantization + dequantized search prep:
+    a map-only Column rewrite — no shuffle, no Python."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
+    )
+    return quantize_embeddings(emb).withColumn("d", dequantize_col())
+
+
 def dedup_lines_plan(spark):
     """Plan for corpus line dedup: the keeper per line must come from
     a hash-partitioned groupBy MIN (map-side partial aggregation
@@ -243,6 +260,13 @@ def dedup_lines_plan(spark):
 
 
 EXTRA_CHECKS = {
+    "quantize_embeddings (int8 storage)": (
+        quantize_plan,
+        [
+            ("!Exchange", "map-only rewrite, no shuffle"),
+            ("!EvalPython", "pure JVM transform"),
+        ],
+    ),
     "dedup_lines_corpus (line keeper)": (
         dedup_lines_plan,
         [
