@@ -54,14 +54,31 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
+        # 1-hop: take the min label over the neighborhood
         cand = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
         ).select(F.col("b").alias("id"), "label")
-        new_labels = (
+        stepped = (
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (label ← label(label)): min-labels are node ids
+        # and every node's own label is ≤ itself, so shortcutting
+        # through the label's label doubles the propagated distance
+        # per round — O(log diameter) rounds instead of O(diameter),
+        # and a >max_iters-hop chain can't silently mislabel (the
+        # pre-fix behavior: a 120-node path left 69 nodes wrong)
+        jump = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "id", F.coalesce("__ll", "label").alias("label")
+            )
             .localCheckpoint()  # materialize + truncate lineage per round
         )
         changed = (
@@ -73,8 +90,14 @@ def connected_components(
         done = changed.isEmpty()
         labels = new_labels
         if done:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (raise max_iters)"
+        )
     return labels.withColumnRenamed("label", "cluster_id")
 
 

@@ -76,3 +76,26 @@ def test_keep_canonical(spark):
     )
     # cluster {1,3,5} keeps 1; cluster {6,7} keeps 6; 0,2,4 untouched
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 120-node path (diameter 119 >> the old 50-round hop limit)
+    labels correctly: pointer jumping makes convergence O(log d), and
+    non-convergence is a hard error, never a silent mislabel (the
+    pre-fix code left 69 of these 120 nodes wrong)."""
+    from bisque_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iters=15).collect()
+    }
+    assert len(out) == 120
+    assert set(out.values()) == {0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_iters=2).collect()
