@@ -501,8 +501,10 @@ def test_catalog_model_based_random_op_sequences(spark, tmp_path):
             dedup[k] = (k, b, c)
         return list(dedup.values())
 
-    for _step in range(12):
-        op = rng.choice(["append", "merge", "merge", "compact", "expire"])
+    for _step in range(14):
+        op = rng.choice(
+            ["append", "merge", "merge", "compact", "expire", "delete"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4), update_frac=0.0)
             cat.append("m", spark.createDataFrame(rows, schema))
@@ -521,6 +523,14 @@ def test_catalog_model_based_random_op_sequences(spark, tmp_path):
             if new_v == version:  # empty table: no-op
                 continue
             version = new_v
+        elif op == "delete":
+            if not model:
+                continue
+            k = rng.choice(sorted(model))
+            n = cat.delete_where("m", f"image_id = '{k}'")
+            assert n == 1
+            del model[k]
+            version += 1
         else:
             cat.expire_snapshots("m", keep_last=2)
             history_keys = sorted(history)
