@@ -441,3 +441,31 @@ def test_compression_ratio_signal(spark):
     assert got[1] < got[2] < got[3]  # monotone in redundancy
     assert got[3] > 0.8          # random chars: near-incompressible
     assert got[4] == got[5] == 1.0
+
+
+def test_dedup_lines_corpus_hypothesis_differential(spark):
+    """Randomized corpora (shared/unique/short/unicode/empty lines)
+    against the Python oracle — one Spark run over a hypothesis-grade
+    generated batch (per-example Spark jobs would be prohibitive)."""
+    import random
+
+    from bisque_spark.functions.text import dedup_lines_corpus
+
+    rng = random.Random(77)
+    pool = (
+        ["shared boilerplate line one", "another common footer line",
+         "Ünïcode shared line ✓ with marks", "tail boilerplate"]
+        + [f"unique-{i} body line with words" for i in range(40)]
+        + ["-", "", "x", "☂"]  # short: never deduplicated
+    )
+    rows = []
+    for did in range(60):
+        n = rng.randrange(0, 7)
+        text = "\n".join(rng.choice(pool) for _ in range(n)) if n else ""
+        rows.append((did, text if rng.random() > 0.05 else None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+        for r in dedup_lines_corpus(df).collect()
+    }
+    assert got == _dedup_lines_py(rows)
