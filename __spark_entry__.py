@@ -344,16 +344,35 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     surviving docs with their quality features.
 
     The pair stage uses the EXACT n-gram form so the WHOLE pipeline —
-    quality, langid, dedup, pair formation, recursive-CTE clustering,
-    canonical keep — is DuckDB hash-verifiable end to end (r4; was
-    rows-only with MinHash pairs). The LSH near-dup path, the 100-TB
-    pair stage, stays exercised and recall-pinned by
-    minhash_near_dups / doc_dup_clusters / test_dedup.py."""
-    from bisque_spark.functions.text import langid_col, quality_cols
+    corpus line dedup (r5), quality, langid, dedup, pair formation,
+    recursive-CTE clustering, canonical keep — is DuckDB
+    hash-verifiable end to end (r4; was rows-only with MinHash pairs).
+    The LSH near-dup path, the 100-TB pair stage, stays exercised and
+    recall-pinned by minhash_near_dups / doc_dup_clusters /
+    test_dedup.py."""
+    from bisque_spark.functions.text import (
+        dedup_lines_corpus,
+        langid_col,
+        quality_cols,
+    )
     from bisque_spark.operators.cluster import keep_canonical
     from bisque_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs_exact
 
-    docs = _load(spark, sf_dir, "documents")
+    raw = _load(spark, sf_dir, "documents")
+    # stage 0 (r5): CCNet cross-document line dedup feeds the gates,
+    # so shared boilerplate can't inflate token/stopword stats. The
+    # synthetic docs are single-line and unique, so a shared nav line
+    # is planted on every doc (mirrored in the oracle SQL) — the stage
+    # provably strips it from all but the first document rather than
+    # passing vacuously.
+    boiler = "the shared navigation boilerplate line for every page"
+    planted = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit(boiler + "\n"), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("text"),
+    )
+    docs = dedup_lines_corpus(planted).select("doc_id", "text")
     q = quality_cols("text")
     scored = docs.select(
         "doc_id",
@@ -1729,10 +1748,41 @@ def oracle_sql() -> dict[str, str]:
         # exact 2-gram jaccard pairs -> recursive-CTE connected
         # components -> canonical keep (min id per cluster)
         "doc_curation_pipeline": f"""
-            WITH RECURSIVE w AS (
+            WITH RECURSIVE ls AS (
+                SELECT doc_id,
+                       string_split(
+                           'the shared navigation boilerplate line for '
+                           || 'every page' || chr(10)
+                           || COALESCE(text, ''),
+                           chr(10)
+                       ) AS lls
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       generate_subscripts(lls, 1) - 1 AS idx,
+                       unnest(lls) AS line
+                FROM ls
+            ), ranked AS (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, idx
+                       ) AS rn
+                FROM lines WHERE length(line) >= 6
+            ), kept_lines AS (
+                SELECT doc_id, idx, line FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, idx, line FROM lines WHERE length(line) < 6
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx) AS text
+                FROM kept_lines GROUP BY doc_id
+            ), docs2 AS (
+                SELECT d.doc_id, COALESCE(r.text, '') AS text
+                FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+            ), w AS (
                 SELECT doc_id, text,
                        regexp_extract_all(lower(text), '[a-zA-Zà-ÿÀ-ß]+') AS words
-                FROM documents
+                FROM docs2
             ), sc AS (
                 SELECT doc_id, text,
                    {lang_counts}
