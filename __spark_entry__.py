@@ -891,8 +891,9 @@ def _q_emb_ivf_topk(spark, sf_dir):
     (cell-assigned corpus, centroids) — is built ONCE per (session,
     dataset) and memoized here as the deliberate long-lived artifact;
     every query after the first is a pure probe-pruned scan with no
-    sample/Lloyd jobs and no collects. Approximate by design →
-    rows-only; recall vs exact is pinned in tests/test_similarity.py."""
+    sample/Lloyd jobs and no collects. Hash-graded against the
+    independent numpy-twin fixture oracle (_ivf_topk_oracle_sql);
+    recall vs exact is pinned in tests/test_similarity.py."""
     from bisque_spark.operators.similarity import ivf_build, ivf_query
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -1192,7 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_thumbnails into image_features — same code paths, fewer
     slots; their pytest oracles are unchanged."""
     return {
-        # -- 39 oracle-backed (DuckDB row+schema+hash verified) ------------
+        # -- 48 oracle-backed (DuckDB row+schema+hash verified) ------------
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -1240,11 +1241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "validate_images": _q_validate_images,
-        # -- 3 rows-only (oracle = reference-diff via pytest; grading
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        # -- 2 rows-only (oracle = reference-diff via pytest; grading
         #    them through engine-computed VALUES would be circular) ----
         "extract_captions": _q_extract_captions,
         "parse_pipeline": _q_parse_pipeline,
-        "emb_ivf_topk": _q_emb_ivf_topk,
     }
 
 
@@ -1471,6 +1472,91 @@ def _lsh_embedding_oracle_sql() -> str:
             )
             SELECT id_a, id_b, round(cosine, 4) AS cosine
             FROM cos WHERE cosine >= 0.3
+        """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """Differential oracle for _q_emb_ivf_topk: the IVF coarse
+    quantizer is recomputed driver-side by an INDEPENDENT numpy twin
+    of the same deterministic construction — seed centroids are the 16
+    corpus rows with the smallest (xxhash64(str(vec_id)), vec_id)
+    via the Python XXH64 parity twin (hashing.py, itself pinned
+    bit-identical to Spark's F.xxhash64), one Lloyd pass whose means
+    are rounded to 9dp exactly as ivf_assign does, then the final
+    cell assignment and the 6 probe cells nearest the query. Only the
+    per-row artifacts (vec_id → cell, the probe-cell set) are embedded
+    as VALUES; DuckDB independently re-expresses the probe-pruned scan,
+    exact cosine vs the embeddings view, and the (cosine DESC, vec_id)
+    top-10 — so the distributed index scan + TakeOrderedAndProject is
+    hash-verified end to end. Recall vs exact search is pinned
+    separately in tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bisque_spark.hashing import xxhash64_str
+
+    n_cells, kmeans_iters, n_probe, k = 16, 1, 6, 10
+    rows = pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    q64 = next(
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in rows
+        if r["vec_id"] == 0
+    )
+    corpus = [r for r in rows if r["vec_id"] != 0]
+    ids = [int(r["vec_id"]) for r in corpus]
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in corpus]
+    )
+    # seed centroids: smallest (xxhash64(cast(id as string)), id), the
+    # deterministic uniform pseudo-random draw ivf_assign documents
+    order = sorted(
+        range(len(ids)), key=lambda i: (xxhash64_str(str(ids[i])), ids[i])
+    )[:n_cells]
+    cmat = mat[order].copy()
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_iters):
+        assign = (matn @ cmat.T).argmax(axis=1)
+        new = cmat.copy()  # empty cells keep their seed centroid
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 9)
+        cmat = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+    assign = (matn @ cmat.T).argmax(axis=1)
+    qn = q64 / np.linalg.norm(q64)
+    probe = [int(c) for c in (cmat @ qn).argsort()[::-1][:n_probe]]
+    vals = ",\n                   ".join(
+        f"(CAST({i} AS BIGINT), {int(c)})" for i, c in zip(ids, assign)
+    )
+    qv = ",".join(repr(float(v)) for v in q64)
+    return f"""
+            WITH assign(vec_id, cell) AS (
+                VALUES {vals}
+            ),
+            probed AS (
+                SELECT vec_id FROM assign
+                WHERE cell IN ({",".join(map(str, probe))})
+            ),
+            cos AS (
+                SELECT e.vec_id,
+                       list_dot_product(
+                          list_transform(e.embedding,
+                                         x -> CAST(x AS DOUBLE)),
+                          [{qv}]::DOUBLE[])
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform([{qv}]::DOUBLE[],
+                              x -> x * x)))) AS cosine
+                FROM embeddings e JOIN probed USING (vec_id)
+            )
+            SELECT vec_id, round(cosine, 4) AS cosine
+            FROM cos ORDER BY cos.cosine DESC, vec_id LIMIT {k}
         """
 
 
@@ -1852,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_oracle_sql(),
         "audio_features": _audio_features_oracle_sql(),
         "validate_images": _validate_images_oracle_sql(),
+        "emb_ivf_topk": _ivf_topk_oracle_sql(),
         "doc_token_stats": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
