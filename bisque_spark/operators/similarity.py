@@ -411,6 +411,69 @@ def diversity_sample(
     )
 
 
+def semantic_dup_ids(
+    assigned: DataFrame,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ids dropped by semantic (embedding-space) deduplication over an
+    IVF assignment — the SemDeDup construction (Abbas et al. 2023,
+    arXiv:2303.09540): candidate pairs are compared only WITHIN a
+    coarse k-means cell, so the quadratic term is bounded per cell
+    instead of corpus-wide, and the cross-cell pair space (the
+    overwhelming majority at scale) is never materialized.
+
+    Keep policy (deterministic, non-iterative): drop j iff some i < j
+    in the same cell has cosine(i, j) ≥ tau. Unlike the union-find
+    connected-component keep (operators/cluster.py), this is a single
+    equi-join — no fixpoint rounds — and keeps every id with no
+    smaller near-duplicate (the minimal elements of the similarity
+    relation), which is the paper's fixed-ordering variant.
+
+    100-TB shape: one shuffle on `cell` (AQE splits hot cells), the
+    join output is ids-only, and with n_cells sized to the corpus the
+    per-cell pair count stays ~ (n/n_cells)² × n_cells ≪ n². Use
+    ivf_build's partitioned index so the self-join co-locates by cell
+    with no extra exchange."""
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(
+            cosine_col(
+                _vec_as_double(F.col("__va")), _vec_as_double(F.col("__vb"))
+            )
+            >= F.lit(float(tau))
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: the rows of ``assigned`` (an ivf_build/ivf_assign
+    output) that survive within-cell semantic deduplication at cosine
+    threshold ``tau`` — see :func:`semantic_dup_ids` for the policy
+    and the at-scale join shape. Same schema as the input."""
+    dropped = semantic_dup_ids(assigned, tau, vec_col, id_col)
+    return assigned.join(dropped, id_col, "left_anti")
+
+
 # ---- int8 embedding quantization (storage path) --------------------------
 
 

@@ -366,3 +366,86 @@ def test_knn_over_quantized_embeddings_recall(spark):
     quant = quantize_embeddings(emb).withColumn("d", dequantize_col())
     approx = topk(quant, F.col("d"))
     assert len(set(exact) & set(approx)) >= 9
+
+
+# ---- SemDeDup (embedding-cluster semantic dedup) -------------------------
+
+
+def _ivf_twin_assign(ids, mat, n_cells, iters=1):
+    """Independent numpy twin of ivf_assign (same construction as the
+    entry's _ivf_topk_oracle_sql builder): xxhash64-seeded centroids,
+    9dp-rounded Lloyd means, argmax-cosine assignment."""
+    from bisque_spark.hashing import xxhash64_str
+
+    raw = mat.astype(np.float64)
+    order = sorted(
+        range(len(ids)), key=lambda i: (xxhash64_str(str(ids[i])), ids[i])
+    )[:n_cells]
+    cmat = raw[order].copy()
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    matn = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = (matn @ cmat.T).argmax(axis=1)
+        new = cmat.copy()
+        for c in range(n_cells):
+            m = raw[assign == c]
+            if len(m):
+                new[c] = np.round(m.mean(axis=0), 9)
+        cmat = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+    return (matn @ cmat.T).argmax(axis=1), matn
+
+
+@pytest.fixture(scope="module")
+def semdedup_corpus(spark):
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    # plant 15 near-duplicates of the first 15 vectors at higher ids
+    dups = base[:15] + rng.normal(scale=1e-3, size=(15, 16)).astype(
+        np.float32
+    )
+    mat = np.vstack([base, dups.astype(np.float32)])
+    ids = list(range(len(mat)))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+    return df, ids, mat
+
+
+def test_semantic_dedup_matches_numpy_oracle(spark, semdedup_corpus):
+    from bisque_spark.operators.similarity import ivf_assign, semantic_dedup
+    from bisque_spark.util import release_caches
+
+    df, ids, mat = semdedup_corpus
+    tau = 0.95
+    assign, matn = _ivf_twin_assign(ids, mat, n_cells=8)
+    cos = matn @ matn.T
+    # no pair may sit on the tau boundary (cross-engine last-ulp guard)
+    near = np.abs(cos - tau) < 1e-6
+    assert not np.any(near[np.triu_indices(len(ids), k=1)])
+    want_drop = set()
+    for j in range(len(ids)):
+        for i in range(j):
+            if assign[i] == assign[j] and cos[i, j] >= tau:
+                want_drop.add(ids[j])
+    assigned, _ = ivf_assign(df, n_cells=8)
+    kept = {r["vec_id"] for r in semantic_dedup(assigned, tau).collect()}
+    release_caches()
+    assert kept == set(ids) - want_drop
+    # the planted near-dups that share a cell with their original are
+    # exactly the drops — and most of the 15 must actually co-locate
+    assert len(want_drop) >= 12
+    assert want_drop <= set(range(60, 75))
+
+
+def test_semantic_dedup_tau_above_one_keeps_all(spark, semdedup_corpus):
+    from bisque_spark.operators.similarity import ivf_assign, semantic_dedup
+    from bisque_spark.util import release_caches
+
+    df, ids, _ = semdedup_corpus
+    assigned, _ = ivf_assign(df, n_cells=8)
+    kept = semantic_dedup(assigned, tau=1.01).count()
+    release_caches()
+    assert kept == len(ids)
