@@ -13,6 +13,9 @@ diversity-sampled corpus in the snapshot catalog:
  5. exact dedup       — min-id per md5
  6. near-dup keep     — MinHash/LSH pairs → connected components →
                         canonical representative per cluster
+ 6b. semantic dedup   — optional SemDeDup step: within-IVF-cell
+                        embedding pairs at cosine ≥ tau keep the
+                        minimal id (reuses stage 7's index build)
  7. diversity sample  — ≤ k docs per IVF cell of the embedding space
  8. sink              — MERGE into the snapshot catalog (copy-on-write,
                         file-stats pruned), so re-runs upsert instead
@@ -44,6 +47,7 @@ def run_curation(
     sample_per_cell: int = 50,
     n_cells: int = 8,
     dedup_lines: bool = False,
+    semantic_tau: float | None = None,
 ) -> dict:
     """documents(doc_id, text, ...) + embeddings(vec_id, embedding) →
     curated corpus in the catalog at ``workdir``; returns stage counts.
@@ -135,6 +139,19 @@ def run_curation(
     assigned, _ = ivf_build(
         emb, id_col="doc_id", n_cells=n_cells, pin_index=False
     )
+    # 6b (optional): SemDeDup over the SAME index build stage 7 uses —
+    # text near-dups are already gone (stages 5-6); this drops docs
+    # whose EMBEDDINGS nearly coincide (paraphrases, templated pages
+    # with different surface text). Embedded survivors only; docs
+    # without an embedding row can't be compared and pass through
+    # below as before.
+    if semantic_tau is not None:
+        from bisque_spark.operators.similarity import semantic_dedup
+
+        assigned = semantic_dedup(
+            assigned, tau=semantic_tau, id_col="doc_id"
+        )
+        counts["after_semantic_embedded"] = assigned.count()
     sampled_ids = diversity_sample(
         assigned, k_per_cell=sample_per_cell, id_col="doc_id"
     ).select("doc_id")

@@ -259,7 +259,37 @@ def dedup_lines_plan(spark):
     return dedup_lines_corpus(docs)
 
 
+def semantic_dedup_plan(spark):
+    """Plan for SemDeDup: the within-cell pair space must come from a
+    `cell` equi-join (never a cross join), the survivor filter is a
+    left-anti join on ids only, and the whole comparison path is pure
+    JVM Column arithmetic."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.similarity import semantic_dedup
+
+    assigned = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).cast("int").alias("cell"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 13).cast("double"),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(assigned, tau=0.95)
+
+
 EXTRA_CHECKS = {
+    "semantic_dedup (SemDeDup)": (
+        semantic_dedup_plan,
+        [
+            ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+             "within-cell pairs via cell equi-join"),
+            ("!CartesianProduct", "cross-cell pair space never built"),
+            ("LeftAnti", "survivors = ids-only anti-join"),
+            ("!EvalPython", "cosine path pure JVM"),
+        ],
+    ),
     "quantize_embeddings (int8 storage)": (
         quantize_plan,
         [

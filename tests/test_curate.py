@@ -99,3 +99,53 @@ def test_curation_duplicate_embedding_rows_never_duplicate_docs(
     assert (
         out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
     )
+
+
+def test_curation_with_semantic_dedup_stage(spark, tmp_path):
+    """semantic_tau drops docs whose EMBEDDINGS nearly coincide even
+    when their text is distinct: plant an exact embedding duplicate
+    onto a second surviving doc and assert exactly that doc vanishes
+    from the catalog output (sampling disabled via a huge k)."""
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    docs, embs = _tables(spark)
+    wd_off = str(tmp_path / "off")
+    run_curation(spark, docs, embs, wd_off, sample_per_cell=10**6)
+    out_off = {
+        r["doc_id"]
+        for r in ParquetCatalog(spark, wd_off)
+        .read("curated")
+        .select("doc_id")
+        .collect()
+    }
+    emb_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    a, b = sorted(out_off & emb_ids)[:2]
+    a_vec = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == a).first()["embedding"]
+    ]
+    embs2 = embs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == b,
+            F.array(*[F.lit(x) for x in a_vec]).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    wd_on = str(tmp_path / "on")
+    counts = run_curation(
+        spark,
+        docs,
+        embs2,
+        wd_on,
+        sample_per_cell=10**6,
+        semantic_tau=0.999,
+    )
+    out_on = {
+        r["doc_id"]
+        for r in ParquetCatalog(spark, wd_on)
+        .read("curated")
+        .select("doc_id")
+        .collect()
+    }
+    assert out_on == out_off - {b}
+    assert counts["after_semantic_embedded"] == len(out_off & emb_ids) - 1
