@@ -1,0 +1,189 @@
+"""sitemaps.org protocol support (public spec: sitemaps.org, the
+<urlset>/<sitemapindex> XML formats referenced informatively by
+RFC 9309 §2.3's `Sitemap:` extension line).
+
+Frontier seeding from sitemaps: a host's /sitemap.xml is either a
+<urlset> of page entries or a <sitemapindex> naming child sitemaps
+(depth 1 here — the layout the spec's 50k-URL cap forces on big
+sites). Entries carry <loc> (required, XML-entity-escaped, may be
+whitespace-padded) and optional <lastmod> (W3C datetime — feeds
+recrawl scheduling).
+
+Design split (the functions/robots.py pattern):
+
+- The PARSER is pure JVM Column expressions — regexp_extract_all over
+  the machine-generated XML, entity unescape via chained replace — so
+  at 10^8 hosts the parse rides whole-stage codegen with no Python.
+  A python twin (:func:`parse_sitemap`) is pinned expression-equal in
+  tests/test_sitemap.py and used by the single-process oracle crawler.
+- The FETCH stage is an Arrow-batched mapInPandas against the synth
+  world (the sandbox's network); on a real cluster the same stage
+  would wrap an HTTP client.
+- The sitemaps.org SAME-HOST rule (a sitemap may only name URLs on
+  the host serving it) is applied AFTER canonicalization, host
+  compared JVM-side — cross-host spam entries never reach the
+  frontier.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_LOC_RE = r"(?s)<loc\s*>(.*?)</loc\s*>"
+_LASTMOD_RE = r"(?s)<lastmod\s*>(.*?)</lastmod\s*>"
+_URL_BLOCK_RE = r"(?s)<url\s*>(.*?)</url\s*>"
+_CHILD_BLOCK_RE = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
+_INDEX_RE = r"<sitemapindex[\s>]"
+
+# the five predefined XML entities; &amp; LAST so "&amp;lt;" decodes
+# to the literal "&lt;" (double-escape stays escaped once)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&apos;", "'"), ("&amp;", "&")]
+
+
+def _unescape_col(c: F.Column) -> F.Column:
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _unescape_py(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def sitemap_is_index_col(xml: F.Column) -> F.Column:
+    return xml.rlike(_INDEX_RE)
+
+
+def sitemap_entries_col(xml: F.Column) -> F.Column:
+    """<urlset> XML → array<struct<loc string, lastmod string>>;
+    loc trimmed + entity-unescaped, lastmod NULL when absent."""
+    blocks = F.regexp_extract_all(xml, F.lit(_URL_BLOCK_RE), F.lit(1))
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            _unescape_col(
+                F.trim(F.regexp_extract(b, _LOC_RE, 1))
+            ).alias("loc"),
+            F.nullif(
+                F.trim(F.regexp_extract(b, _LASTMOD_RE, 1)), F.lit("")
+            ).alias("lastmod"),
+        ),
+    )
+
+
+def sitemap_child_locs_col(xml: F.Column) -> F.Column:
+    """<sitemapindex> XML → array<string> of child sitemap locs."""
+    blocks = F.regexp_extract_all(xml, F.lit(_CHILD_BLOCK_RE), F.lit(1))
+    return F.filter(
+        F.transform(
+            blocks,
+            lambda b: _unescape_col(
+                F.trim(F.regexp_extract(b, _LOC_RE, 1))
+            ),
+        ),
+        lambda loc: loc != "",
+    )
+
+
+def parse_sitemap(text: str) -> dict:
+    """Python twin of the Column parser (oracle crawler + parity
+    tests): → {"kind": "index"|"urlset", "entries": [{loc, lastmod}],
+    "children": [loc]}."""
+    if re.search(_INDEX_RE, text):
+        children = []
+        for b in re.findall(_CHILD_BLOCK_RE, text):
+            m = re.search(_LOC_RE, b)
+            if m and m.group(1).strip():
+                children.append(_unescape_py(m.group(1).strip()))
+        return {"kind": "index", "entries": [], "children": children}
+    entries = []
+    for b in re.findall(_URL_BLOCK_RE, text):
+        m = re.search(_LOC_RE, b)
+        if not m:
+            continue
+        lm = re.search(_LASTMOD_RE, b)
+        entries.append(
+            {
+                "loc": _unescape_py(m.group(1).strip()),
+                "lastmod": lm.group(1).strip() if lm and lm.group(1).strip() else None,
+            }
+        )
+    return {"kind": "urlset", "entries": entries, "children": []}
+
+
+def fetch_sitemap_docs(urls: DataFrame, world) -> DataFrame:
+    """(host, url) rows → (host, url, body) by fetching per Arrow
+    batch (functions/robots.py fetch_robots pattern); body NULL on
+    non-200."""
+    from bisque_spark.synth import sitemap_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bodies = []
+            for u in pdf["url"]:
+                status, content = sitemap_bytes(world, u)
+                bodies.append(
+                    content.decode("utf-8")
+                    if status == 200 and content is not None
+                    else None
+                )
+            out = pdf[["host", "url"]].copy()
+            out["body"] = bodies
+            yield out
+
+    return urls.select("host", "url").mapInPandas(
+        run, schema="host string, url string, body string"
+    )
+
+
+def sitemap_seed_locs(hosts: DataFrame, world) -> DataFrame:
+    """hosts(host) → (host, loc, lastmod): every urlset entry across
+    each host's sitemap tree. Index docs are expanded exactly one
+    level (the spec's layout); child sitemap locs obey the same-host
+    rule before they are fetched. Raw locs — the caller canonicalizes
+    and re-applies same-host on the canonical form.
+
+    Scale shape: two Arrow fetch stages (top-level, children) and a
+    JVM-only parse; the doc table is pinned because the index/urlset
+    split consumes it twice (exchange-reuse gotcha in CLAUDE.md)."""
+    from bisque_spark.functions.urlnorm import host_col
+    from bisque_spark.util import pin
+
+    top = hosts.select(
+        "host",
+        F.concat(
+            F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")
+        ).alias("url"),
+    )
+    docs = pin(fetch_sitemap_docs(top, world).where(F.col("body").isNotNull()))
+    is_idx = sitemap_is_index_col(F.col("body"))
+    child_urls = (
+        docs.where(is_idx)
+        .select(
+            "host",
+            F.explode(sitemap_child_locs_col(F.col("body"))).alias("url"),
+        )
+        .where(host_col("url") == F.col("host"))
+    )
+    child_docs = fetch_sitemap_docs(child_urls, world).where(
+        F.col("body").isNotNull()
+    )
+    urlsets = docs.where(~is_idx).unionByName(child_docs)
+    return urlsets.select(
+        "host",
+        F.explode(sitemap_entries_col(F.col("body"))).alias("e"),
+    ).select(
+        "host",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+    )

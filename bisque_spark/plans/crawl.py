@@ -229,6 +229,7 @@ def run_crawl(
     compact_every: int = 16,
     authority: DataFrame | None = None,
     authority_weight: float = 1.0,
+    use_sitemaps: bool = False,
 ) -> dict:
     """Run (or resume) the crawl; returns summary dict with table paths.
 
@@ -241,6 +242,12 @@ def run_crawl(
     linkrank.authority_from_crawl, whose output orders crawl N+1.
     Determinism: authority is itself a deterministic table; a resumed
     crawl must be handed the SAME table to stay bit-identical.
+
+    ``use_sitemaps`` seeds the epoch-0 frontier from every host's
+    sitemap tree (functions/sitemap.py) in addition to ``seeds`` —
+    canonicalized, same-host-filtered, then deduped/robots-filtered by
+    the shared seed path. Resume never re-fetches sitemaps (the seed
+    frontier snapshot already carries their URLs).
     """
     from bisque_spark.functions.robots import fetch_robots
     from bisque_spark.functions.urlnorm import with_canonical
@@ -283,13 +290,38 @@ def run_crawl(
         # seeds+new) — round 1 spent two extra jobs here.
         raw = spark.createDataFrame(seeds, schema="url string, rank int")
         canon = with_canonical(raw).where(F.col("url").isNotNull())
+        seed_urls_df = canon.select("url")
+        if use_sitemaps:
+            # sitemaps.org frontier seeding: every host's sitemap tree
+            # contributes depth-0 URLs alongside the seed list; the
+            # same-host rule is applied on the CANONICAL form (a
+            # cross-host or case-mangled loc can't smuggle a foreign
+            # URL in). Dedup + robots run in the shared path below —
+            # sitemap URLs get no special treatment after this line,
+            # which is what keeps the oracle differential simple.
+            from bisque_spark.functions.sitemap import sitemap_seed_locs
+            from bisque_spark.functions.urlnorm import host_col
+
+            sm = sitemap_seed_locs(hosts, world)
+            smc = with_canonical(sm, url_col="loc", out_col="url").where(
+                F.col("url").isNotNull()
+                & (host_col("url") == F.col("host"))
+            )
+            seed_urls_df = seed_urls_df.unionByName(smc.select("url"))
         seeded = with_frontier_columns(
-            canon.withColumn("depth", F.lit(0)).drop("rank"), epoch=0,
+            seed_urls_df.withColumn("depth", F.lit(0)), epoch=0,
             authority=authority, authority_weight=authority_weight,
         ).dropDuplicates(["url_hash"])
         seeded = apply_robots(seeded, robots)
         seed_path = os.path.join(workdir, "frontier_seed")
         _write(seeded.select(*FRONTIER_COLS), seed_path)
+        if use_sitemaps:
+            # the seed write is the terminal action over the pinned
+            # sitemap doc table (util.pin contract) — release it so the
+            # crawl loop starts with a clean cache registry
+            from bisque_spark.util import release_caches
+
+            release_caches()
         frontier_on_disk = seed_path
         frontier = spark.read.parquet(seed_path).select(*FRONTIER_COLS)
         seen_exact = spark.read.parquet(seed_path).select("url_hash")

@@ -424,3 +424,104 @@ def robots_rows(world: World) -> list[dict]:
 def host_budget(world: World, crawl_delay: float) -> int:
     """Token-bucket budget per epoch, expressible as a window rank bound."""
     return max(1, int(world.host_budget_base / crawl_delay))
+
+
+# ---- sitemaps (sitemaps.org protocol; FIXTURES.md §8) ----------------------
+
+SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def host_has_sitemap(world: World, host: str) -> bool:
+    """Half the hosts publish /sitemap.xml (deterministic draw)."""
+    return xxh64(("sitemap:" + host).encode()) % 2 == 0
+
+
+def sitemap_is_index(world: World, host: str) -> bool:
+    """Of the sitemap hosts, half serve a <sitemapindex> whose two
+    children carry the urlsets (the nested layout big sites use)."""
+    return xxh64(("sitemap:" + host).encode()) % 4 == 0
+
+
+def sitemap_locs(world: World, host: str) -> list[str]:
+    """Ground-truth <loc> list a host's sitemap tree is generated FROM
+    — the oracle consumes this directly (the robots_rows pattern);
+    the engine must recover it by parsing the XML. Adversarial forms:
+    an uppercase scheme+host loc (canonicalization), a query URL whose
+    ``&`` rides as &amp; in the XML (entity unescape), a
+    robots-disallowed /admin loc (politeness filter downstream), and a
+    CROSS-HOST loc the sitemaps.org same-host rule must reject."""
+    if not host_has_sitemap(world, host):
+        return []
+    idx = int(host[1:5])
+    n = world.host_count_pages(host)
+    locs = []
+    for p in range(n):
+        if xxh64(f"smurl:{host}:{p}".encode()) % 3 == 0:
+            continue
+        locs.append(page_url(world, idx, p))
+    locs.append(f"HTTP://{host.upper()}/p1.html")
+    locs.append(f"http://{host}/p2.html?ref=sitemap&utm=1")
+    locs.append(f"http://{host}/admin/a0.html")
+    other = world.host((idx + 1) % world.n_hosts)
+    locs.append(f"http://{other}/p0.html")
+    return locs
+
+
+def sitemap_lastmod(world: World, loc: str) -> str:
+    """Deterministic W3C date for a loc's <lastmod>."""
+    d = xxh64(("smmod:" + loc).encode())
+    return f"2026-{(d >> 8) % 12 + 1:02d}-{d % 28 + 1:02d}"
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def sitemap_xml_docs(world: World, host: str) -> dict[str, str]:
+    """path → XML document for this host's sitemap tree."""
+    locs = sitemap_locs(world, host)
+    if not locs:
+        return {}
+
+    def urlset(entries: list[str]) -> str:
+        rows = "".join(
+            f"  <url><loc> {_xml_escape(loc)} </loc>"
+            f"<lastmod>{sitemap_lastmod(world, loc)}</lastmod></url>\n"
+            for loc in entries
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<urlset xmlns="{SITEMAP_NS}">\n{rows}</urlset>\n'
+        )
+
+    if not sitemap_is_index(world, host):
+        return {"/sitemap.xml": urlset(locs)}
+    half = (len(locs) + 1) // 2
+    index = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<sitemapindex xmlns="{SITEMAP_NS}">\n'
+        f"  <sitemap><loc>http://{host}/sitemap-0.xml</loc>"
+        f"<lastmod>{sitemap_lastmod(world, host + ':child0')}</lastmod>"
+        "</sitemap>\n"
+        f"  <sitemap><loc>http://{host}/sitemap-1.xml</loc></sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    return {
+        "/sitemap.xml": index,
+        "/sitemap-0.xml": urlset(locs[:half]),
+        "/sitemap-1.xml": urlset(locs[half:]),
+    }
+
+
+def sitemap_bytes(world: World, url: str) -> tuple[int, bytes | None]:
+    """Fetch simulation for sitemap URLs: (status, content bytes)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    host = (parts.hostname or "").lower()
+    if host not in {world.host(i) for i in range(world.n_hosts)}:
+        return 404, None
+    doc = sitemap_xml_docs(world, host).get(parts.path)
+    if doc is None:
+        return 404, None
+    return 200, doc.encode("utf-8")

@@ -76,6 +76,7 @@ def crawl_oracle(
     max_epochs: int = 10,
     authority: dict[int, float] | None = None,
     authority_weight: float = 1.0,
+    use_sitemaps: bool = False,
 ):
     """→ dict(order=[(epoch, host, host_rank, priority, url_hash, url)],
     seen=set[int], images=[dict], links=[(src_hash, dst_hash)]).
@@ -84,6 +85,22 @@ def crawl_oracle(
     weighted priority: -depth + weight·rank, same float association."""
     robots = {r["host"]: r for r in robots_rows(world)}
     disallow_by_host = {h: r["disallow"] for h, r in robots.items()}
+
+    if use_sitemaps:
+        # sitemap seeding mirrors the engine: ground-truth locs (the
+        # XML is generated from them; engine-parse == ground truth is
+        # pinned by tests/test_sitemap.py), canonicalized, same-host
+        # on the canonical form, then the shared dedup/robots path.
+        from bisque_spark.synth import sitemap_locs
+
+        extra = []
+        for i in range(world.n_hosts):
+            host = world.host(i)
+            for loc in sitemap_locs(world, host):
+                canon = canonicalize_url(loc)
+                if canon is not None and url_host(canon) == host:
+                    extra.append((canon, 0))
+        seeds = list(seeds) + extra
 
     def _priority(depth: int, h: int) -> float:
         p = -float(depth)

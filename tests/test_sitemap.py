@@ -1,0 +1,151 @@
+"""sitemaps.org frontier seeding: Column parser == python twin ==
+ground-truth locs; same-host rejection; sitemap-seeded crawl ==
+oracle order/seen."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bisque_spark.functions.sitemap import (
+    parse_sitemap,
+    sitemap_child_locs_col,
+    sitemap_entries_col,
+    sitemap_is_index_col,
+    sitemap_seed_locs,
+)
+from bisque_spark.synth import (
+    World,
+    host_has_sitemap,
+    seed_urls,
+    sitemap_is_index,
+    sitemap_lastmod,
+    sitemap_locs,
+    sitemap_xml_docs,
+)
+
+WORLD = World(n_hosts=12, n_seeds=18)
+
+
+def _all_docs():
+    out = []
+    for i in range(WORLD.n_hosts):
+        host = WORLD.host(i)
+        for path, xml in sitemap_xml_docs(WORLD, host).items():
+            out.append((host, path, xml))
+    return out
+
+
+def test_world_has_both_layouts():
+    kinds = {
+        sitemap_is_index(WORLD, WORLD.host(i))
+        for i in range(WORLD.n_hosts)
+        if host_has_sitemap(WORLD, WORLD.host(i))
+    }
+    assert kinds == {True, False}
+
+
+def test_column_parser_matches_python_twin(spark):
+    docs = _all_docs()
+    df = spark.createDataFrame(docs, "host string, path string, xml string")
+    rows = df.select(
+        "host",
+        "path",
+        sitemap_is_index_col(F.col("xml")).alias("is_idx"),
+        sitemap_entries_col(F.col("xml")).alias("entries"),
+        sitemap_child_locs_col(F.col("xml")).alias("children"),
+    ).collect()
+    by_key = {(r["host"], r["path"]): r for r in rows}
+    for host, path, xml in docs:
+        want = parse_sitemap(xml)
+        got = by_key[(host, path)]
+        assert got["is_idx"] == (want["kind"] == "index"), (host, path)
+        assert [
+            {"loc": e["loc"], "lastmod": e["lastmod"]} for e in got["entries"]
+        ] == want["entries"], (host, path)
+        assert list(got["children"]) == want["children"], (host, path)
+
+
+def test_parsed_locs_recover_ground_truth():
+    """Parsing the generated XML tree must recover EXACTLY the
+    ground-truth loc list (incl. the &amp;-escaped query URL) — this
+    is what lets the oracle consume sitemap_locs directly."""
+    for i in range(WORLD.n_hosts):
+        host = WORLD.host(i)
+        docs = sitemap_xml_docs(WORLD, host)
+        want = sitemap_locs(WORLD, host)
+        if not want:
+            assert docs == {}
+            continue
+        top = parse_sitemap(docs["/sitemap.xml"])
+        locs = []
+        if top["kind"] == "index":
+            assert all(c.startswith(f"http://{host}/") for c in top["children"])
+            for child in top["children"]:
+                path = child[len(f"http://{host}") :]
+                locs += [e["loc"] for e in parse_sitemap(docs[path])["entries"]]
+        else:
+            locs = [e["loc"] for e in top["entries"]]
+        assert locs == want, host
+        amp = [l for l in want if "&" in l]
+        assert amp and all("&amp;" not in l for l in locs)
+        for e in (
+            top["entries"]
+            if top["kind"] == "urlset"
+            else parse_sitemap(docs["/sitemap-0.xml"])["entries"]
+        ):
+            assert e["lastmod"] == sitemap_lastmod(WORLD, e["loc"])
+
+
+def test_seed_locs_operator_same_host_and_totals(spark):
+    hosts = spark.createDataFrame(
+        [(WORLD.host(i),) for i in range(WORLD.n_hosts)], "host string"
+    )
+    got = sitemap_seed_locs(hosts, WORLD).collect()
+    from bisque_spark.util import release_caches
+
+    release_caches()
+    want = {
+        (WORLD.host(i), loc)
+        for i in range(WORLD.n_hosts)
+        for loc in sitemap_locs(WORLD, WORLD.host(i))
+    }
+    assert {(r["host"], r["loc"]) for r in got} == want
+    # the raw loc set still CONTAINS cross-host spam entries — the
+    # crawl filters them after canonicalization; verify they exist so
+    # the e2e test actually exercises the rejection
+    assert any(not loc.lower().startswith(f"http://{h}/") for h, loc in want)
+
+
+def test_crawl_with_sitemaps_matches_oracle(spark, tmp_path):
+    from bisque_spark.plans.crawl import read_order, run_crawl
+    from oracle_crawler import crawl_oracle
+
+    world = World(n_hosts=8, n_seeds=10)
+    want = crawl_oracle(
+        world, seed_urls(world), max_epochs=3, use_sitemaps=True
+    )
+    res = run_crawl(
+        spark,
+        world,
+        seed_urls(world),
+        workdir=str(tmp_path / "crawl"),
+        max_epochs=3,
+        use_sitemaps=True,
+    )
+    rows = read_order(spark, res).collect()
+    got = sorted(
+        (
+            r["epoch"],
+            r["host"],
+            r["host_rank"],
+            float(r["priority"]),
+            r["url_hash"],
+            r["url"],
+        )
+        for r in rows
+    )
+    assert got == sorted(
+        (e, h, rk, float(p), uh, u) for (e, h, rk, p, uh, u) in want["order"]
+    )
+    # sitemap seeding must actually ADD scheduled urls vs the plain crawl
+    plain = crawl_oracle(world, seed_urls(world), max_epochs=3)
+    assert len(want["order"]) > len(plain["order"])
