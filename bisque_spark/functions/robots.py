@@ -212,9 +212,34 @@ def apply_robots_rules(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     ).drop("rules")
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """`Sitemap:` directives (RFC 9309 §2.3 "other records" / the
+    sitemaps.org robots.txt extension): GLOBAL lines, not scoped to a
+    user-agent group, absolute URLs, any number of them. Returned in
+    file order; the caller applies its own location policy (the engine
+    rejects cross-host advertisements conservatively —
+    functions/sitemap.py)."""
+    out = []
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def synth_robots_txt(world: World, host: str) -> str:
     """Deterministic robots.txt body whose parse equals the
-    ``robots_rows`` entry for this host (same hash-derived rules)."""
+    ``robots_rows`` entry for this host (same hash-derived rules).
+    Sitemap hosts advertise their sitemap via the `Sitemap:` line
+    (how real crawlers discover them); a deterministic third of hosts
+    ALSO advertise a cross-host sitemap the engine's same-host policy
+    must reject (group parsers ignore the global `Sitemap:` key, so
+    crawl_delay/disallow round-trips are unchanged)."""
+    from bisque_spark.synth import host_has_sitemap
+
     h = xxh64(("robots:" + host).encode())
     crawl_delay = 1.0 + (h % 4)
     lines = ["# synthetic robots", "User-agent: *", f"Crawl-delay: {crawl_delay}"]
@@ -222,6 +247,12 @@ def synth_robots_txt(world: World, host: str) -> str:
         lines.append("Disallow: /admin")
     else:
         lines.append("Disallow:")
+    if host_has_sitemap(world, host):
+        lines.append(f"Sitemap: http://{host}/sitemap.xml")
+    if xxh64(("smxadv:" + host).encode()) % 3 == 0:
+        idx = int(host[1:5])
+        other = world.host((idx + 3) % world.n_hosts)
+        lines.append(f"Sitemap: http://{other}/sitemap.xml")
     lines.append("")
     return "\n".join(lines)
 

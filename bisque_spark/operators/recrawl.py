@@ -114,3 +114,34 @@ def reopen_for_refetch(
         delete_from_shards(cuckoo_shards, keys, buckets=buckets),
         seen_exact.join(keys, "url_hash", "left_anti"),
     )
+
+
+def change_hint_from_lastmod(
+    lastmod: str | F.Column,
+    now_date: str,
+) -> F.Column:
+    """Sitemap <lastmod> (W3C datetime, functions/sitemap.py) → a
+    change_hint bucket for :func:`due_for_refresh`'s policy table —
+    the standard freshness prior: recently-modified pages are the
+    volatile ones, pages untouched for months are static.
+
+        age < 7 days   → 3 (volatile)    age < 180 days → 1
+        age < 30 days  → 2               else / no date → 0 (static)
+
+    Pure Column exprs (to_date tolerates both date-only and full W3C
+    datetime via the 10-char prefix); NULL or unparseable lastmod →
+    0, the conservative slowest bucket."""
+    c = F.col(lastmod) if isinstance(lastmod, str) else lastmod
+    # try_to_date: ANSI mode is on in Spark 4 — a malformed lastmod
+    # must bucket to static, not kill the job
+    age = F.datediff(
+        F.to_date(F.lit(now_date)), F.try_to_date(F.substring(c, 1, 10))
+    )
+    return (
+        F.when(age.isNull(), F.lit(0))
+        .when(age < 7, F.lit(3))
+        .when(age < 30, F.lit(2))
+        .when(age < 180, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )

@@ -149,3 +149,72 @@ def test_crawl_with_sitemaps_matches_oracle(spark, tmp_path):
     # sitemap seeding must actually ADD scheduled urls vs the plain crawl
     plain = crawl_oracle(world, seed_urls(world), max_epochs=3)
     assert len(want["order"]) > len(plain["order"])
+
+
+def test_parse_robots_sitemaps():
+    from bisque_spark.functions.robots import parse_robots_sitemaps
+
+    txt = (
+        "User-agent: *\nDisallow:\n"
+        "Sitemap: http://a.test/sitemap.xml\n"
+        "# comment line\n"
+        "SITEMAP: http://b.test/s.xml  # trailing comment\n"
+        "Sitemap:\n"
+    )
+    assert parse_robots_sitemaps(txt) == [
+        "http://a.test/sitemap.xml",
+        "http://b.test/s.xml",
+    ]
+    assert parse_robots_sitemaps("User-agent: *\nDisallow: /x\n") == []
+
+
+def test_discovery_via_robots_rejects_cross_host(spark):
+    from bisque_spark.functions.robots import (
+        parse_robots_sitemaps,
+        synth_robots_txt,
+    )
+    from bisque_spark.functions.sitemap import discover_sitemap_urls
+
+    hosts = spark.createDataFrame(
+        [(WORLD.host(i),) for i in range(WORLD.n_hosts)], "host string"
+    )
+    got = {(r["host"], r["url"]) for r in discover_sitemap_urls(hosts, WORLD).collect()}
+    want = {
+        (h, f"http://{h}/sitemap.xml")
+        for h in (WORLD.host(i) for i in range(WORLD.n_hosts))
+        if host_has_sitemap(WORLD, h)
+    }
+    assert got == want
+    # the synth robots MUST contain at least one cross-host advert so
+    # the policy above is actually exercised
+    adverts = [
+        u
+        for i in range(WORLD.n_hosts)
+        for u in parse_robots_sitemaps(
+            synth_robots_txt(WORLD, WORLD.host(i))
+        )
+        if not u.startswith(f"http://{WORLD.host(i)}/")
+    ]
+    assert adverts
+
+
+def test_change_hint_from_lastmod(spark):
+    from bisque_spark.operators.recrawl import change_hint_from_lastmod
+
+    rows = [
+        ("2026-08-15",),            # 2 days old  → 3
+        ("2026-08-01",),            # 16 days     → 2
+        ("2026-03-01",),            # ~5 months   → 1
+        ("2024-01-01",),            # years       → 0
+        (None,),                    # absent      → 0
+        ("2026-08-15T10:00:00+00:00",),  # full W3C → 3
+        ("garbage",),               # malformed   → 0
+    ]
+    df = spark.createDataFrame(rows, "lastmod string")
+    got = [
+        r["h"]
+        for r in df.select(
+            change_hint_from_lastmod("lastmod", "2026-08-17").alias("h")
+        ).collect()
+    ]
+    assert got == [3, 2, 1, 0, 0, 3, 0]
