@@ -596,3 +596,102 @@ def compression_ratio_udf(col):
     per-doc compress IS the work, so the Python boundary is paid once
     per batch, not per row). Deterministic for a fixed zlib level."""
     return F.pandas_udf(_compression_ratio_series, "double")(col)
+
+
+def dedup_spans_corpus(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+):
+    """Corpus-level exact SUBSTRING deduplication (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better"): any ``k``-token window that occurs more than once
+    ACROSS the corpus survives only at its first occurrence in
+    (id, position) order — every other occurrence's tokens are cut.
+    Catches copied passages that line- and document-level dedup both
+    miss (quotes, syndicated paragraphs, licence blocks mid-text).
+
+    Fully relational, the dedup_lines_corpus shape scaled to windows:
+
+    - window keys are ``xxhash64(concat_ws(' ', slice(tokens,i,k)))``
+      built by a JVM transform over ``sequence`` — no Python in the
+      candidate pass. The hash pass reads each token k times (O(n·k));
+      an O(n) Rabin-Karp would need a UDF — one scan and zero extra
+      shuffles is the better trade at 100 TB, where shuffle volume,
+      not CPU, is the binding constraint.
+    - keeper per window = ``min(struct(id, pos))`` under a
+      hash-partitioned groupBy: map-side partial aggregation absorbs a
+      boilerplate window with 10^8 occurrences (never a window rank
+      partitioned by the key).
+    - cut = explode each non-keeper occurrence to its k token
+      positions, distinct, anti-join against the posexploded tokens,
+      reassemble in position order.
+
+    Reassembly is WHITESPACE-NORMALIZED (tokens joined by one space —
+    the same tokenization doc_token_stats uses). Docs with fewer than
+    k tokens are never cut. Deterministic: ties impossible, (id, pos)
+    is unique. Note: cutting splices previously-distant tokens
+    together, so a re-run can surface NEW windows — the operator is a
+    single pass by design, like the paper's.
+
+    → (id_col, text, n_tokens, n_tokens_kept).
+    """
+    toks = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    nw = F.size("__toks") - F.lit(k - 1)
+    wins = base.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                nw > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nw - 1),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__toks", i + 1, k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__pos", "__wh"),
+    )
+    keepers = wins.groupBy("__wh").agg(
+        F.min(F.struct("__id", "__pos")).alias("__k")
+    )
+    dropped_pos = (
+        wins.join(keepers, "__wh")
+        .where(
+            (F.col("__id") != F.col("__k.__id"))
+            | (F.col("__pos") != F.col("__k.__pos"))
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+            ).alias("__tpos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        "__id", F.posexplode("__toks").alias("__tpos", "__tok")
+    )
+    kept = tokens.join(dropped_pos, ["__id", "__tpos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = base.select("__id", F.size("__toks").alias("n_tokens"))
+    return totals.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_tokens",
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+    )

@@ -279,7 +279,33 @@ def semantic_dedup_plan(spark):
     return semantic_dedup(assigned, tau=0.95)
 
 
+def dedup_spans_plan(spark):
+    """Plan for corpus substring dedup: window keeper must be a
+    map-side partial MIN under a hash groupBy (hot boilerplate windows
+    combine locally), the whole candidate pass pure JVM."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.functions.text import dedup_spans_corpus
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared passage tokens repeat here again and again body "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_spans_corpus(docs, k=4)
+
+
 EXTRA_CHECKS = {
+    "dedup_spans_corpus (substring dedup)": (
+        dedup_spans_plan,
+        [
+            ("partial_min|HashAggregate", "keeper = map-side partial MIN"),
+            (r"!Window.*__wh", "no per-window rank (skew funnel)"),
+            ("!EvalPython", "candidate pass pure JVM"),
+        ],
+    ),
     "semantic_dedup (SemDeDup)": (
         semantic_dedup_plan,
         [

@@ -469,3 +469,85 @@ def test_dedup_lines_corpus_hypothesis_differential(spark):
         for r in dedup_lines_corpus(df).collect()
     }
     assert got == _dedup_lines_py(rows)
+
+
+# ---- corpus substring (k-token window) dedup -----------------------------
+
+
+def _span_oracle(rows, k):
+    """Independent python twin of dedup_spans_corpus' policy."""
+    import re
+
+    toks = {
+        i: (re.split(r"\s+", t.strip()) if t and t.strip() else [])
+        for i, t in rows
+    }
+    occ = {}
+    for i in toks:
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), []).append((i, p))
+    dropped = {i: set() for i in toks}
+    for positions in occ.values():
+        keeper = min(positions)
+        for (i, p) in positions:
+            if (i, p) != keeper:
+                dropped[i].update(range(p, p + k))
+    out = {}
+    for i, ts in toks.items():
+        keep = [t for p, t in enumerate(ts) if p not in dropped[i]]
+        out[i] = (" ".join(keep), len(ts), len(keep))
+    return out
+
+
+def test_dedup_spans_planted_passage(spark):
+    from bisque_spark.functions.text import dedup_spans_corpus
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"alpha beta gamma {passage} delta epsilon zeta eta theta"),
+        (2, f"one two three four {passage} five six seven eight nine"),
+        (3, f"red green blue {passage} cyan magenta yellow black white"),
+        (4, "too short for any window"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_kept"])
+        for r in dedup_spans_corpus(df, k=8).collect()
+    }
+    want = _span_oracle(rows, k=8)
+    assert got == want
+    # doc 1 keeps the passage; docs 2-3 lose exactly its 10 tokens
+    assert passage in got[1][0]
+    for i in (2, 3):
+        assert passage not in got[i][0]
+        assert got[i][2] == got[i][1] - 10
+    assert got[4] == ("too short for any window", 5, 5)
+    assert got[5] == ("", 0, 0)
+
+
+def test_dedup_spans_random_corpus_matches_oracle(spark):
+    import numpy as np
+
+    from bisque_spark.functions.text import dedup_spans_corpus
+
+    rng = np.random.RandomState(5)
+    pool = ["w%d" % i for i in range(12)]  # tiny pool → real collisions
+    rows = [
+        (int(i), " ".join(rng.choice(pool, size=rng.randint(3, 40))))
+        for i in range(30)
+    ]
+    # plant one shared k-window so the cut path is exercised for sure
+    shared = " ".join(pool[:6])
+    rows[7] = (7, rows[7][1] + " " + shared)
+    rows[19] = (19, shared + " " + rows[19][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 6
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_kept"])
+        for r in dedup_spans_corpus(df, k=k).collect()
+    }
+    assert got == _span_oracle(rows, k)
+    # sanity: something was actually cut somewhere
+    assert any(g[2] < g[1] for g in got.values())
