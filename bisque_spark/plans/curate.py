@@ -6,6 +6,9 @@ diversity-sampled corpus in the snapshot catalog:
 
  0. line dedup        — optional CCNet step: cross-document boilerplate
                         lines keep one occurrence (text.dedup_lines_corpus)
+ 0b. substring dedup  — optional Lee-et-al step: duplicated k-token
+                        windows cut at all but their first occurrence
+                        (text.dedup_spans_corpus)
  1. quality gate      — token/stopword stats + langid (JVM exprs)
  2. safety scrub      — PII redaction (emails/phones/IPs → placeholders)
  3. repetition gate   — Gopher-style dup-line / top-2-gram signals
@@ -47,6 +50,7 @@ def run_curation(
     sample_per_cell: int = 50,
     n_cells: int = 8,
     dedup_lines: bool = False,
+    dedup_span_k: int | None = None,
     semantic_tau: float | None = None,
 ) -> dict:
     """documents(doc_id, text, ...) + embeddings(vec_id, embedding) →
@@ -80,6 +84,20 @@ def run_curation(
             dedup_lines_corpus(documents).select("doc_id", "text")
         )
         counts["after_line_dedup"] = documents.count()
+
+    # 0b (optional): corpus substring dedup — copied PASSAGES (quotes,
+    # syndicated paragraphs) vanish everywhere but their first
+    # occurrence before quality/repetition signals see them. Docs
+    # never drop here either; their texts shrink.
+    if dedup_span_k is not None:
+        from bisque_spark.functions.text import dedup_spans_corpus
+
+        documents = pin(
+            dedup_spans_corpus(documents, k=dedup_span_k).select(
+                "doc_id", "text"
+            )
+        )
+        counts["after_span_dedup"] = documents.count()
 
     # 1-3: one scan, pure Column expressions
     q = quality_cols("text")

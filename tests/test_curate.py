@@ -149,3 +149,28 @@ def test_curation_with_semantic_dedup_stage(spark, tmp_path):
     }
     assert out_on == out_off - {b}
     assert counts["after_semantic_embedded"] == len(out_off & emb_ids) - 1
+
+
+def test_curation_with_span_dedup_stage(spark, tmp_path):
+    """dedup_span_k cuts a cross-document copied PASSAGE everywhere
+    but its first occurrence before the gates run."""
+    docs, embs = _tables(spark)
+    passage = (
+        "this exact syndicated paragraph appears verbatim in every "
+        "copy of the story today"
+    )
+    docs_p = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + passage)).alias("text"),
+    )
+    wd = str(tmp_path / "cat_spans")
+    counts = run_curation(
+        spark, docs_p, embs, wd, sample_per_cell=10, dedup_span_k=8
+    )
+    assert counts["after_span_dedup"] == counts["input"]  # docs never drop
+    assert counts["final"] > 0
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    out = ParquetCatalog(spark, wd).read("curated")
+    n_pass = out.where(F.col("text").contains(passage)).count()
+    assert n_pass <= 1  # at most the first-occurrence doc keeps it
