@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 
 _LOC_RE = r"(?s)<loc\s*>(.*?)</loc\s*>"
 _LASTMOD_RE = r"(?s)<lastmod\s*>(.*?)</lastmod\s*>"
+_CHANGEFREQ_RE = r"(?s)<changefreq\s*>(.*?)</changefreq\s*>"
+_PRIORITY_RE = r"(?s)<priority\s*>(.*?)</priority\s*>"
 _URL_BLOCK_RE = r"(?s)<url\s*>(.*?)</url\s*>"
 _CHILD_BLOCK_RE = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
 _INDEX_RE = r"<sitemapindex[\s>]"
@@ -63,8 +65,11 @@ def sitemap_is_index_col(xml: F.Column) -> F.Column:
 
 
 def sitemap_entries_col(xml: F.Column) -> F.Column:
-    """<urlset> XML → array<struct<loc string, lastmod string>>;
-    loc trimmed + entity-unescaped, lastmod NULL when absent."""
+    """<urlset> XML → array<struct<loc string, lastmod string,
+    changefreq string, priority double>> — the spec's full entry
+    schema. loc trimmed + entity-unescaped; the optional fields NULL
+    when absent (priority also NULL when non-numeric — try_cast, ANSI
+    mode must not kill the scan on a malformed sitemap)."""
     blocks = F.regexp_extract_all(xml, F.lit(_URL_BLOCK_RE), F.lit(1))
     return F.transform(
         blocks,
@@ -75,6 +80,14 @@ def sitemap_entries_col(xml: F.Column) -> F.Column:
             F.nullif(
                 F.trim(F.regexp_extract(b, _LASTMOD_RE, 1)), F.lit("")
             ).alias("lastmod"),
+            F.nullif(
+                F.trim(F.regexp_extract(b, _CHANGEFREQ_RE, 1)), F.lit("")
+            ).alias("changefreq"),
+            F.nullif(
+                F.trim(F.regexp_extract(b, _PRIORITY_RE, 1)), F.lit("")
+            )
+            .try_cast("double")
+            .alias("priority"),
         ),
     )
 
@@ -110,10 +123,18 @@ def parse_sitemap(text: str) -> dict:
         if not m:
             continue
         lm = re.search(_LASTMOD_RE, b)
+        cf = re.search(_CHANGEFREQ_RE, b)
+        pr = re.search(_PRIORITY_RE, b)
+        try:
+            priority = float(pr.group(1).strip()) if pr and pr.group(1).strip() else None
+        except ValueError:
+            priority = None
         entries.append(
             {
                 "loc": _unescape_py(m.group(1).strip()),
                 "lastmod": lm.group(1).strip() if lm and lm.group(1).strip() else None,
+                "changefreq": cf.group(1).strip() if cf and cf.group(1).strip() else None,
+                "priority": priority,
             }
         )
     return {"kind": "urlset", "entries": entries, "children": []}
@@ -215,4 +236,6 @@ def sitemap_seed_locs(hosts: DataFrame, world) -> DataFrame:
         "host",
         F.col("e.loc").alias("loc"),
         F.col("e.lastmod").alias("lastmod"),
+        F.col("e.changefreq").alias("changefreq"),
+        F.col("e.priority").alias("priority"),
     )

@@ -473,6 +473,21 @@ def sitemap_lastmod(world: World, loc: str) -> str:
     return f"2026-{(d >> 8) % 12 + 1:02d}-{d % 28 + 1:02d}"
 
 
+_CHANGEFREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+
+
+def sitemap_changefreq(world: World, loc: str) -> str | None:
+    """Deterministic optional <changefreq> (spec enumeration; ~1/3 absent)."""
+    d = xxh64(("smcf:" + loc).encode())
+    return None if d % 3 == 0 else _CHANGEFREQS[d % 7]
+
+
+def sitemap_priority(world: World, loc: str) -> float | None:
+    """Deterministic optional <priority> in [0.0, 1.0] (~1/2 absent)."""
+    d = xxh64(("smpri:" + loc).encode())
+    return None if d % 2 == 0 else (d % 11) / 10.0
+
+
 def _xml_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -484,11 +499,17 @@ def sitemap_xml_docs(world: World, host: str) -> dict[str, str]:
         return {}
 
     def urlset(entries: list[str]) -> str:
-        rows = "".join(
-            f"  <url><loc> {_xml_escape(loc)} </loc>"
-            f"<lastmod>{sitemap_lastmod(world, loc)}</lastmod></url>\n"
-            for loc in entries
-        )
+        rows = ""
+        for loc in entries:
+            cf = sitemap_changefreq(world, loc)
+            pri = sitemap_priority(world, loc)
+            rows += (
+                f"  <url><loc> {_xml_escape(loc)} </loc>"
+                f"<lastmod>{sitemap_lastmod(world, loc)}</lastmod>"
+                + (f"<changefreq>{cf}</changefreq>" if cf is not None else "")
+                + (f"<priority>{pri:.1f}</priority>" if pri is not None else "")
+                + "</url>\n"
+            )
         return (
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             f'<urlset xmlns="{SITEMAP_NS}">\n{rows}</urlset>\n'

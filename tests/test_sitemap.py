@@ -16,9 +16,11 @@ from bisque_spark.synth import (
     World,
     host_has_sitemap,
     seed_urls,
+    sitemap_changefreq,
     sitemap_is_index,
     sitemap_lastmod,
     sitemap_locs,
+    sitemap_priority,
     sitemap_xml_docs,
 )
 
@@ -59,7 +61,13 @@ def test_column_parser_matches_python_twin(spark):
         got = by_key[(host, path)]
         assert got["is_idx"] == (want["kind"] == "index"), (host, path)
         assert [
-            {"loc": e["loc"], "lastmod": e["lastmod"]} for e in got["entries"]
+            {
+                "loc": e["loc"],
+                "lastmod": e["lastmod"],
+                "changefreq": e["changefreq"],
+                "priority": e["priority"],
+            }
+            for e in got["entries"]
         ] == want["entries"], (host, path)
         assert list(got["children"]) == want["children"], (host, path)
 
@@ -93,6 +101,43 @@ def test_parsed_locs_recover_ground_truth():
             else parse_sitemap(docs["/sitemap-0.xml"])["entries"]
         ):
             assert e["lastmod"] == sitemap_lastmod(WORLD, e["loc"])
+            assert e["changefreq"] == sitemap_changefreq(WORLD, e["loc"])
+            assert e["priority"] == sitemap_priority(WORLD, e["loc"])
+
+
+def test_optional_fields_both_present_and_absent():
+    """The synth world must emit entries WITH and WITHOUT changefreq/
+    priority so the NULL-when-absent parse path is actually exercised,
+    and a malformed priority must try_cast to NULL, not kill the row."""
+    ents = [
+        e
+        for _, path, xml in _all_docs()
+        if path != "/sitemap.xml" or "<urlset" in xml
+        for e in parse_sitemap(xml)["entries"]
+    ]
+    assert any(e["changefreq"] is None for e in ents)
+    assert any(e["changefreq"] is not None for e in ents)
+    assert any(e["priority"] is None for e in ents)
+    assert any(e["priority"] is not None for e in ents)
+    bad = parse_sitemap(
+        "<urlset><url><loc>http://h.test/a</loc>"
+        "<priority>high</priority></url></urlset>"
+    )
+    assert bad["entries"][0]["priority"] is None
+
+
+def test_malformed_priority_try_cast_null(spark):
+    xml = (
+        "<urlset><url><loc>http://h.test/a</loc>"
+        "<changefreq>daily</changefreq><priority>high</priority></url>"
+        "<url><loc>http://h.test/b</loc><priority>0.7</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    [row] = df.select(sitemap_entries_col(F.col("xml")).alias("e")).collect()
+    a, b = row["e"]
+    assert (a["changefreq"], a["priority"]) == ("daily", None)
+    assert (b["changefreq"], b["priority"]) == (None, 0.7)
 
 
 def test_seed_locs_operator_same_host_and_totals(spark):
