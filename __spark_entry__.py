@@ -3,10 +3,12 @@
 ``entry(spark)`` — flagship multi-operator pipeline on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 /
 §2.7 plus the training-data pipeline operators).
-``oracle_sql()`` — DuckDB-equivalent SQL for every query whose
-semantics are ANSI-SQL-expressible; parse/hash/crawl operators whose
-oracle is the reference implementation (covered by tests/) are
-rows-only here.
+``oracle_sql()`` — DuckDB-equivalent SQL for every query: relational /
+text / crawl semantics re-expressed in ANSI SQL; approximate and
+multimodal operators via driver-side fixture VALUES (python-twin or
+seeded-numpy artifacts + SQL re-expression of banding/joins); the two
+parse queries via VALUES computed by the REFERENCE parser itself
+(rows-only fallback only when the reference tree is absent).
 """
 
 from __future__ import annotations
@@ -408,8 +410,10 @@ def _q_doc_fingerprint(spark, sf_dir):
 def _q_extract_captions(spark, sf_dir):
     """bisque find_all/get_text semantics as a batch operator: wrap each
     document's text into figure/figcaption markup (deterministically)
-    and extract byte-faithful captions. Oracle = the reference parser
-    (tests/test_extract.py); rows-only here."""
+    and extract byte-faithful captions. Hash-graded: the DuckDB oracle
+    is a VALUES fixture computed by the REFERENCE parser itself
+    (_extract_captions_oracle_sql); tests/test_extract.py pins the
+    same chain over the crawl corpus."""
     from bisque_spark.operators.extract import EXTRACT_SCHEMA, extract_batches
 
     docs = _load(spark, sf_dir, "documents")
@@ -1123,9 +1127,11 @@ def _q_parse_pipeline(spark, sf_dir):
     while each keeps its authentic code path: ``find_all`` runs as
     DataFrame ops over exploded nodes (string co-filter semi-join),
     CSS through the fused Arrow ``select_stage``, and the
-    parse→serialize fixpoint in its own Arrow pass. Oracles =
+    parse→serialize fixpoint in its own Arrow pass. Hash-graded: the
+    DuckDB oracle is a VALUES fixture computed by the REFERENCE parser
+    (_parse_pipeline_oracle_sql); the broad semantic pins stay in the
     reference-diff pytest suites (test_nodes / test_css /
-    test_serialize, byte-equal); rows-only here."""
+    test_serialize, byte-equal)."""
     import re
 
     import pandas as pd
@@ -1193,7 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_thumbnails into image_features — same code paths, fewer
     slots; their pytest oracles are unchanged."""
     return {
-        # -- 48 oracle-backed (DuckDB row+schema+hash verified) ------------
+        # -- 48 oracle-backed (DuckDB row+schema+hash verified; the two
+        #    reference-fixture parse keys below make it 50/50) ---------
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_stats": _q_doc_token_stats,
         "doc_lang_counts": _q_doc_lang_counts,
@@ -1242,8 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "validate_images": _q_validate_images,
         "emb_ivf_topk": _q_emb_ivf_topk,
-        # -- 2 rows-only (oracle = reference-diff via pytest; grading
-        #    them through engine-computed VALUES would be circular) ----
+        # -- 2 graded via REFERENCE-computed VALUES fixtures (the one
+        #    non-circular oracle for parse semantics; rows-only
+        #    fallback when /root/reference is absent) ------------------
         "extract_captions": _q_extract_captions,
         "parse_pipeline": _q_parse_pipeline,
     }
@@ -1710,6 +1718,155 @@ def _phash_pairs_oracle_sql() -> str:
         """
 
 
+def _ref_bisque():
+    """Import the REFERENCE parser (/root/reference/src) for
+    driver-side fixture computation — the north_rule's own oracle.
+    Oracle-side ONLY: ``queries()`` / engine code never import the
+    reference; this mirrors how tests/ref_oracle.py pins parse
+    semantics. Returns None when the reference tree is absent so the
+    driver falls back to the rows-only grade for the two parse keys."""
+    import sys
+    import warnings
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.append("/root/reference/src")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from bisque import Bisque  # noqa: PLC0415
+        return Bisque
+    except Exception:  # noqa: BLE001 — reference tree not mounted
+        return None
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB single-quoted literal (standard '' doubling; captions
+    can carry any document text incl. newlines — legal in literals)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _extract_captions_oracle_sql() -> str | None:
+    """Fixture oracle for _q_extract_captions, computed by the
+    REFERENCE parser itself: rebuild each page's figure markup
+    driver-side, then walk reference navigation exactly as
+    operators/extract.extract_page documents its chain —
+    img.find_parent('figure') → figure.find('figcaption').get_text(),
+    else alt, else find_next_sibling('p', class_='caption') — and
+    embed (url, image_id, caption) as VALUES. An independent
+    end-to-end pin of decode → parse → caption extraction (reference
+    src/bisque/element/tag_core/tag.py find/get_text semantics)."""
+    Bisque = _ref_bisque()
+    if Bisque is None:
+        return None
+    import pyarrow.parquet as pq
+
+    from bisque_spark.hashing import xxhash64_str
+
+    docs = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    rows = []
+    for r in docs:
+        if r["text"] is None:
+            continue  # NULL text → NULL content → no images row
+        url = f"http://docs.test/d{r['doc_id']}"
+        html = (
+            '<html><body><figure><img src="/i.png"/><figcaption>'
+            + r["text"][:120]
+            + "</figcaption></figure></body></html>"
+        )
+        soup = Bisque(html, features="html.parser")
+        page_hash = xxhash64_str(url)
+        for k, img in enumerate(soup.find_all("img")):
+            cap = None
+            fig = img.find_parent("figure")
+            if fig is not None:
+                fc = fig.find("figcaption")
+                if fc is not None:
+                    cap = fc.get_text()
+            if cap is None and img.has_attr("alt"):
+                cap = img["alt"]
+            if cap is None:
+                sib = img.find_next_sibling("p", class_="caption")
+                if sib is not None:
+                    cap = sib.get_text()
+            rows.append(
+                f"({_sql_str(url)}, {_sql_str(f'img-{page_hash}-{k}')},"
+                f" {_sql_str(cap if cap is not None else '')})"
+            )
+    vals = ",\n                   ".join(rows)
+    return f"""
+            SELECT * FROM (
+                VALUES {vals}
+            ) AS t(url, image_id, caption)
+        """
+
+
+def _parse_pipeline_oracle_sql() -> str | None:
+    """Fixture oracle for _q_parse_pipeline, computed by the REFERENCE
+    parser: per page, n_find_all = len(soup.find_all('p',
+    class_='text', string=re.compile('the'))); n_css re-expresses the
+    selector 'div.outer > p.a.b, a[rel~=next]' through reference
+    navigation primitives (class/rel are multi-valued attrs — the
+    reference's CSS engine needs the absent chinois package, so the
+    selector semantics are re-derived independently, like the SQL
+    re-expressions of LSH banding); fixpoint = str(Bisque(html))
+    reaches a serialize fixpoint in one round — the reference's own
+    parse→serialize loop, independent of the engine's
+    parse_nodes/serialize_nodes."""
+    Bisque = _ref_bisque()
+    if Bisque is None:
+        return None
+    import re
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    pat = re.compile("the")
+    rows = []
+    for r in docs:
+        if r["text"] is None:
+            continue
+        url = f"http://docs.test/d{r['doc_id']}"
+        html = (
+            '<div class="outer"><p class="body  text a">'
+            + r["text"][:120]
+            + ' &amp; tail</p><p class="a b">x</p>'
+            '<ul><li><a href="/n.html" rel="next  page">n</a></li></ul>'
+            "<br><pre> k </pre></div>"
+        )
+        soup = Bisque(html, features="html.parser")
+        n_fa = len(soup.find_all("p", class_="text", string=pat))
+        n_css = 0
+        for p in soup.find_all("p"):
+            cls = p.get("class") or []
+            if "a" in cls and "b" in cls:
+                par = p.parent
+                if (
+                    par is not None
+                    and par.name == "div"
+                    and "outer" in (par.get("class") or [])
+                ):
+                    n_css += 1
+        for a in soup.find_all("a"):
+            if "next" in (a.get("rel") or []):
+                n_css += 1
+        once = str(soup)
+        fix = once == str(Bisque(once, features="html.parser"))
+        rows.append(
+            f"({_sql_str(url)}, CAST({n_fa} AS BIGINT),"
+            f" CAST({n_css} AS BIGINT), CAST({bool(fix)} AS BOOLEAN))"
+        )
+    vals = ",\n                   ".join(rows)
+    return f"""
+            SELECT * FROM (
+                VALUES {vals}
+            ) AS t(url, n_find_all, n_css, fixpoint)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from bisque_spark.functions.text import STOPWORDS
 
@@ -1727,7 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs)
         + " ELSE 'und' END"
     )
-    return {
+    out = {
         "emb_exact_near_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(
@@ -2302,3 +2459,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # Reference-backed parse oracles (50/50 when the reference tree is
+    # mounted; driver falls back to rows-only for these two otherwise).
+    cap_sql = _extract_captions_oracle_sql()
+    if cap_sql is not None:
+        out["extract_captions"] = cap_sql
+    pp_sql = _parse_pipeline_oracle_sql()
+    if pp_sql is not None:
+        out["parse_pipeline"] = pp_sql
+    return out
