@@ -74,14 +74,20 @@ def due_for_refresh(
     Rows whose change_hint is absent from the policy table are
     DROPPED by the inner join (an unknown bucket has no interval to
     evaluate) — policies must cover the hint domain.
+
+    A ``boost`` column, when present (annotate_seen_from_sitemap puts
+    the sitemap <priority> multiplier there), scales the refresh
+    priority: priority = age · weight · boost. Absent column → ×1,
+    so plain seen tables behave exactly as before.
     """
     from pyspark.sql import Window
 
+    boost = F.col("boost") if "boost" in seen.columns else F.lit(1.0)
     aged = (
         seen.join(F.broadcast(policy), "change_hint")
         .withColumn("age", F.lit(now_epoch) - F.col("fetched_epoch"))
         .where(F.col("age") >= F.col("refresh_interval"))
-        .withColumn("priority", F.col("age") * F.col("weight"))
+        .withColumn("priority", F.col("age") * F.col("weight") * boost)
         .select("url_hash", "url", "host", "age", "priority")
     )
     if limit_per_host is None:
@@ -113,6 +119,103 @@ def reopen_for_refetch(
     return (
         delete_from_shards(cuckoo_shards, keys, buckets=buckets),
         seen_exact.join(keys, "url_hash", "left_anti"),
+    )
+
+
+def change_hint_from_changefreq(changefreq: str | F.Column) -> F.Column:
+    """Sitemap <changefreq> enumeration (sitemaps.org spec, parsed by
+    functions/sitemap.py) → change_hint bucket:
+
+        always/hourly/daily → 3   weekly → 2   monthly → 1
+        yearly/never → 0          absent/unknown token → NULL
+
+    NULL (not 0) for absent so :func:`change_hint_from_sitemap` can
+    fall back to the lastmod-derived hint via greatest()."""
+    c = F.col(changefreq) if isinstance(changefreq, str) else changefreq
+    lc = F.lower(F.trim(c))
+    return (
+        F.when(lc.isin("always", "hourly", "daily"), F.lit(3))
+        .when(lc == "weekly", F.lit(2))
+        .when(lc == "monthly", F.lit(1))
+        .when(lc.isin("yearly", "never"), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+    )
+
+
+def change_hint_from_sitemap(
+    lastmod: str | F.Column,
+    changefreq: str | F.Column,
+    now_date: str,
+) -> F.Column:
+    """Combined freshness prior from a sitemap entry: the OPTIMISTIC
+    max of the lastmod-recency hint and the declared changefreq hint.
+    Max, not min: a page declaring <changefreq>daily</changefreq> gets
+    its declared cadence even if lastmod is stale (the site knows its
+    own publishing schedule), and a recently-modified page refreshes
+    fast even when the site conservatively declares monthly — the
+    per-host cap in due_for_refresh bounds the cost of optimism."""
+    return F.greatest(
+        change_hint_from_lastmod(lastmod, now_date),
+        F.coalesce(change_hint_from_changefreq(changefreq), F.lit(0)),
+    )
+
+
+def sitemap_boost_col(priority: str | F.Column) -> F.Column:
+    """Sitemap <priority> (0.0-1.0, spec default 0.5) → a refresh
+    priority multiplier: 2·p, so the default is the neutral ×1, a
+    priority-1.0 page refreshes at double weight, a 0.1 page at ×0.2.
+    NULL-safe (absent → 0.5 → ×1) and clamped to the spec's domain so
+    a hostile sitemap can't inflate its own budget past ×2."""
+    c = F.col(priority) if isinstance(priority, str) else priority
+    return 2.0 * F.least(
+        F.greatest(F.coalesce(c, F.lit(0.5)), F.lit(0.0)), F.lit(1.0)
+    )
+
+
+def annotate_seen_from_sitemap(
+    seen: DataFrame,
+    entries: DataFrame,
+    now_date: str,
+) -> DataFrame:
+    """Fold a crawl's discovered sitemap entries (host, loc, lastmod,
+    changefreq, priority — functions/sitemap.sitemap_seed_locs
+    schema) onto the seen table: canonicalize each loc, hash it with
+    the frontier's own url_hash (determinism contract: everything
+    derives from url_hash), and LEFT-join the per-URL hints —
+
+        change_hint = sitemap hint, else 0 (static; a URL the site
+                      doesn't list gets the slowest refresh)
+        boost       = 2·priority, else ×1
+
+    Scale shape: seen is 10^10 rows hash-partitioned by url_hash; the
+    sitemap side is ~pages-per-site × hosts, same key, so this is one
+    co-partitioned shuffle join, no driver state. Duplicate locs (a
+    URL listed in two sitemap files) collapse deterministically to
+    the max hint / max boost before the join so the seen key stays
+    unique."""
+    from bisque_spark.functions.urlnorm import url_hash_col, with_canonical
+
+    hints = (
+        with_canonical(entries, url_col="loc", out_col="canon")
+        .where(F.col("canon").isNotNull())
+        .select(
+            url_hash_col("canon").alias("url_hash"),
+            change_hint_from_sitemap("lastmod", "changefreq", now_date)
+            .alias("sm_hint"),
+            sitemap_boost_col("priority").alias("sm_boost"),
+        )
+        .groupBy("url_hash")
+        .agg(
+            F.max("sm_hint").alias("sm_hint"),
+            F.max("sm_boost").alias("sm_boost"),
+        )
+    )
+    return (
+        seen.join(hints, "url_hash", "left")
+        .withColumn("change_hint", F.coalesce("sm_hint", F.lit(0)))
+        .withColumn("boost", F.coalesce("sm_boost", F.lit(1.0)))
+        .drop("sm_hint", "sm_boost")
     )
 
 

@@ -109,3 +109,131 @@ def test_reopen_flow_feeds_frontier_again(spark):
     got = {r["url_hash"] for r in out.collect()}
     want = {r["url_hash"] for r in due.collect()}
     assert got == want
+
+
+def test_sitemap_refresh_composition_matches_oracle(spark):
+    """sitemap entries → annotate_seen_from_sitemap → due_for_refresh,
+    hash-verified against an independent python+DuckDB oracle: hints
+    and boosts recomputed from the raw sitemap XML via the python
+    twins (parse_sitemap / canonicalize_url / xxhash64_str), the
+    schedule by SQL with the boost folded into priority."""
+    from datetime import date, datetime
+
+    from bisque_spark.functions.sitemap import sitemap_seed_locs
+    from bisque_spark.functions.urlnorm import canonicalize_url
+    from bisque_spark.hashing import xxhash64_str
+    from bisque_spark.operators.recrawl import annotate_seen_from_sitemap
+    from bisque_spark.synth import World
+    from bisque_spark.util import release_caches
+
+    world = World(n_hosts=10, n_seeds=12)
+    hosts = spark.createDataFrame(
+        [(world.host(i),) for i in range(world.n_hosts)], "host string"
+    )
+    ent_rows = [
+        (r["host"], r["loc"], r["lastmod"], r["changefreq"], r["priority"])
+        for r in sitemap_seed_locs(hosts, world).collect()
+    ]
+    release_caches()
+    entries = spark.createDataFrame(
+        ent_rows,
+        "host string, loc string, lastmod string, changefreq string,"
+        " priority double",
+    )
+
+    NOW = "2026-08-17"
+    listed = sorted({c for (_, loc, _, _, _) in ent_rows
+                     if (c := canonicalize_url(loc))})
+    urls = listed + [f"http://unlisted{i}.test/p{i}" for i in range(40)]
+    seen_rows = [
+        (xxhash64_str(u), u, u.split("/")[2], i % 9)
+        for i, u in enumerate(urls)
+    ]
+    seen = spark.createDataFrame(
+        seen_rows, "url_hash long, url string, host string, fetched_epoch int"
+    )
+
+    ann = annotate_seen_from_sitemap(seen, entries, NOW)
+    got_ann = {
+        r["url_hash"]: (r["change_hint"], round(r["boost"], 6))
+        for r in ann.collect()
+    }
+
+    # --- python twin of the annotation ------------------------------
+    def hint_lm(lm):
+        if lm is None:
+            return 0
+        try:
+            d = datetime.strptime(lm[:10], "%Y-%m-%d").date()
+        except ValueError:
+            return 0
+        age = (date(2026, 8, 17) - d).days
+        return 3 if age < 7 else 2 if age < 30 else 1 if age < 180 else 0
+
+    CF = {"always": 3, "hourly": 3, "daily": 3, "weekly": 2,
+          "monthly": 1, "yearly": 0, "never": 0}
+
+    want_hints: dict[int, tuple[int, float]] = {}
+    for (_, loc, lm, cf, pri) in ent_rows:
+        c = canonicalize_url(loc)
+        if c is None:
+            continue
+        h = xxhash64_str(c)
+        hint = max(hint_lm(lm), CF.get((cf or "").strip().lower(), 0))
+        boost = 2.0 * min(max(pri if pri is not None else 0.5, 0.0), 1.0)
+        old = want_hints.get(h, (-1, -1.0))
+        want_hints[h] = (max(old[0], hint), max(old[1], boost))
+    want_ann = {
+        uh: want_hints.get(uh, (0, 1.0)) for (uh, _, _, _) in seen_rows
+    }
+    assert got_ann == {
+        k: (h, round(b, 6)) for k, (h, b) in want_ann.items()
+    }
+    # the corpus must exercise every branch: unlisted (static, x1),
+    # listed boosted and de-boosted, changefreq- and lastmod-driven
+    assert {h for h, _ in want_ann.values()} >= {0, 1, 2, 3}
+    boosts = {b for _, b in want_ann.values()}
+    assert any(b > 1.0 for b in boosts) and any(0 < b < 1.0 for b in boosts)
+
+    # --- schedule over the annotation, DuckDB oracle ----------------
+    got = {
+        (r["url_hash"], r["age"], round(r["priority"], 6))
+        for r in due_for_refresh(
+            ann, 9, policy_table(spark), limit_per_host=3
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE seen (url_hash BIGINT, url VARCHAR, host VARCHAR,"
+        " fetched_epoch INT, change_hint INT, boost DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO seen VALUES (?,?,?,?,?,?)",
+        [
+            (uh, u, h, fe, want_ann[uh][0], want_ann[uh][1])
+            for (uh, u, h, fe) in seen_rows
+        ],
+    )
+    con.execute(
+        "CREATE TABLE policy (change_hint INT, refresh_interval INT,"
+        " weight DOUBLE)"
+    )
+    con.executemany("INSERT INTO policy VALUES (?,?,?)", DEFAULT_POLICY)
+    want = set(
+        con.execute(
+            """
+        SELECT url_hash, age, round(priority, 6) FROM (
+            SELECT s.url_hash, s.host,
+                   9 - s.fetched_epoch AS age,
+                   (9 - s.fetched_epoch) * p.weight * s.boost AS priority,
+                   row_number() OVER (
+                       PARTITION BY s.host
+                       ORDER BY (9 - s.fetched_epoch) * p.weight * s.boost
+                                DESC, s.url_hash ASC) AS rk
+            FROM seen s JOIN policy p USING (change_hint)
+            WHERE 9 - s.fetched_epoch >= p.refresh_interval
+        ) WHERE rk <= 3
+        """
+        ).fetchall()
+    )
+    assert got == want
