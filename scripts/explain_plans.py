@@ -297,7 +297,57 @@ def dedup_spans_plan(spark):
     return dedup_spans_corpus(docs, k=4)
 
 
+def sitemap_refresh_plan(spark):
+    """Plan for the sitemap-annotated refresh schedule: hint/boost
+    collapse is a hash groupBy on url_hash (map-side partial MAX —
+    duplicate locs combine locally), the policy dim broadcasts, the
+    per-host cap prunes inside the window, and the whole chain —
+    canonicalize, hash, hint mapping, boost clamp — is JVM Column
+    exprs end to end."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.recrawl import (
+        annotate_seen_from_sitemap,
+        due_for_refresh,
+        policy_table,
+    )
+
+    entries = spark.range(3000).select(
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("http://h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test/p"), (F.col("id") % 1500).cast("string"))
+        .alias("loc"),
+        F.lit("2026-08-10").alias("lastmod"),
+        F.when(F.col("id") % 3 == 0, F.lit("daily")).alias("changefreq"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 11) / 10.0)
+        .alias("priority"),
+    )
+    seen = spark.range(2000).select(
+        F.xxhash64(F.concat(F.lit("http://h"), (F.col("id") % 40).cast("string"),
+                            F.lit(".test/p"), F.col("id").cast("string")))
+        .alias("url_hash"),
+        F.concat(F.lit("http://h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.col("id") % 9).cast("int").alias("fetched_epoch"),
+    )
+    ann = annotate_seen_from_sitemap(seen, entries, "2026-08-17")
+    return due_for_refresh(ann, 9, policy_table(spark), limit_per_host=5)
+
+
 EXTRA_CHECKS = {
+    "sitemap-annotated refresh schedule": (
+        sitemap_refresh_plan,
+        [
+            ("partial_max|HashAggregate", "hint collapse = map-side partial MAX"),
+            ("BroadcastHashJoin", "policy dim broadcast"),
+            ("WindowGroupLimit", "per-host cap pruned inside the window"),
+            ("ArrowEvalPython", "canonicalizer is the one Arrow stage"),
+            ("!BatchEvalPython", "no row-at-a-time Python anywhere"),
+        ],
+    ),
     "dedup_spans_corpus (substring dedup)": (
         dedup_spans_plan,
         [
