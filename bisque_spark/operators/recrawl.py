@@ -122,6 +122,106 @@ def reopen_for_refetch(
     )
 
 
+def make_refetch_fingerprint(world, epoch: int):
+    """mapInPandas body factory (lazy — the crawl's no-module-level-UDF
+    contract): (url_hash, url) → (url_hash, fingerprint), where
+    fingerprint = signed xxh64 of the page bytes at the page's content
+    version for ``epoch`` (synth.page_version — the deterministic
+    change model), NULL when the fetch is non-200. One Arrow pass, no
+    parse: change detection needs bytes identity only."""
+    import pandas as pd
+
+    from bisque_spark.hashing import to_i64, xxh64
+    from bisque_spark.synth import page_bytes, page_version
+
+    def fn(batches):
+        for pdf in batches:
+            fps = []
+            for url in pdf["url"]:
+                v = page_version(world, url, epoch)
+                _, content = page_bytes(world, url, version=v)
+                fps.append(
+                    to_i64(xxh64(content)) if content is not None else None
+                )
+            # nullable Int64, NOT a plain list: ints + None would
+            # coerce to float64 and round the low bits off the hash
+            yield pd.DataFrame(
+                {
+                    "url_hash": pdf["url_hash"],
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return fn
+
+
+def refetch_fingerprints(due: DataFrame, world, epoch: int) -> DataFrame:
+    """Refetch the due URLs at ``epoch`` and fingerprint the bytes —
+    the observation half of the adaptive-refresh loop."""
+    return due.select("url_hash", "url").mapInPandas(
+        make_refetch_fingerprint(world, epoch),
+        schema="url_hash long, fingerprint long",
+    )
+
+
+def apply_refresh_observations(
+    seen: DataFrame,
+    observed: DataFrame,
+    now_epoch: int,
+) -> DataFrame:
+    """Fold refetch observations back into the seen table — the
+    adaptive-refresh estimator (Cho & Garcia-Molina, "Effective page
+    refresh policies for web crawlers", TODS 2003: adapt the revisit
+    rate to the OBSERVED change rate, additive-increase /
+    additive-decrease on the hint ladder):
+
+        changed   (fingerprint differs, or fetch now failing)
+                  → change_hint = min(3, hint + 1)
+        unchanged → change_hint = max(0, hint - 1)
+        unobserved (not due this cycle) → untouched
+
+    Observed rows also get fetched_epoch = now_epoch and the new
+    fingerprint (NULL-safe: a failed refetch keeps the old one so a
+    later success still compares against real bytes).
+
+    seen(url_hash, …, fetched_epoch, change_hint, fingerprint) LEFT
+    JOIN observed(url_hash, fingerprint) on the hash-partitioned key —
+    one co-partitioned shuffle, all-Column arithmetic, no state on the
+    driver; at 10^10 rows the observed side is the (capped) due set,
+    orders of magnitude smaller."""
+    obs = observed.select(
+        "url_hash", F.col("fingerprint").alias("fp_new"),
+        F.lit(True).alias("observed"),
+    )
+    joined = seen.join(obs, "url_hash", "left")
+    changed = F.col("observed").isNotNull() & ~F.col("fp_new").eqNullSafe(
+        F.col("fingerprint")
+    )
+    unchanged = F.col("observed").isNotNull() & F.col("fp_new").eqNullSafe(
+        F.col("fingerprint")
+    )
+    return (
+        joined.withColumn(
+            "change_hint",
+            F.when(changed, F.least(F.lit(3), F.col("change_hint") + 1))
+            .when(unchanged, F.greatest(F.lit(0), F.col("change_hint") - 1))
+            .otherwise(F.col("change_hint"))
+            .cast("int"),
+        )
+        .withColumn(
+            "fetched_epoch",
+            F.when(F.col("observed").isNotNull(), F.lit(now_epoch))
+            .otherwise(F.col("fetched_epoch"))
+            .cast("int"),
+        )
+        .withColumn(
+            "fingerprint",
+            F.coalesce("fp_new", "fingerprint"),
+        )
+        .drop("fp_new", "observed")
+    )
+
+
 def change_hint_from_changefreq(changefreq: str | F.Column) -> F.Column:
     """Sitemap <changefreq> enumeration (sitemaps.org spec, parsed by
     functions/sitemap.py) → change_hint bucket:

@@ -237,3 +237,98 @@ def test_sitemap_refresh_composition_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_adaptive_refresh_matches_python_twin(spark):
+    """The full adaptive loop — due_for_refresh → refetch at the
+    world's deterministic page version → AIMD hint update — stepped
+    three cycles, the whole seen state equal to a pure-python twin
+    after each cycle; hint distribution must track the true per-URL
+    change period (Cho & Garcia-Molina adaptivity)."""
+    from bisque_spark.hashing import to_i64, xxh64, xxhash64_str
+    from bisque_spark.operators.recrawl import (
+        apply_refresh_observations,
+        refetch_fingerprints,
+    )
+    from bisque_spark.synth import (
+        World,
+        page_bytes,
+        page_change_period,
+        page_status,
+        page_url,
+        page_version,
+    )
+
+    world = World(n_hosts=6, n_seeds=8)
+    urls = [
+        page_url(world, i, n)
+        for i in range(world.n_hosts)
+        for n in range(world.host_count_pages(world.host(i)))
+    ]
+
+    def fp_at(url, epoch):
+        if page_status(world, url) != 200:
+            return None
+        _, content = page_bytes(
+            world, url, version=page_version(world, url, epoch)
+        )
+        return to_i64(xxh64(content))
+
+    # python twin state: url -> [fetched_epoch, hint, fingerprint]
+    state = {u: [0, 1, fp_at(u, 0)] for u in urls}
+    pol = {h: (iv, w) for h, iv, w in DEFAULT_POLICY}
+
+    seen = spark.createDataFrame(
+        [
+            (xxhash64_str(u), u, u.split("/")[2], fe, h, fp)
+            for u, (fe, h, fp) in state.items()
+        ],
+        "url_hash long, url string, host string, fetched_epoch int,"
+        " change_hint int, fingerprint long",
+    )
+
+    saw_changed = saw_unchanged = False
+    for now in (4, 8, 12):
+        due = due_for_refresh(seen, now, policy_table(spark))
+        obs = refetch_fingerprints(due, world, now)
+        seen = apply_refresh_observations(seen, obs, now).localCheckpoint()
+
+        # twin cycle
+        for u, st in state.items():
+            fe, h, fp = st
+            if now - fe < pol[h][0]:
+                continue
+            fp_new = fp_at(u, now)
+            if fp_new == fp:
+                st[1] = max(0, h - 1)
+                saw_unchanged = True
+            else:
+                st[1] = min(3, h + 1)
+                saw_changed = True
+            st[0] = now
+            st[2] = fp_new if fp_new is not None else fp
+
+        got = {
+            (r["url_hash"], r["fetched_epoch"], r["change_hint"],
+             r["fingerprint"])
+            for r in seen.collect()
+        }
+        want = {
+            (xxhash64_str(u), fe, h, fp)
+            for u, (fe, h, fp) in state.items()
+        }
+        assert got == want, f"cycle now={now}"
+    assert saw_changed and saw_unchanged
+
+    # adaptivity: volatile (period 1) pages must end hotter than
+    # near-static (period 8) ones, and both ladder ends are reached
+    import statistics
+
+    by_period = {1: [], 8: []}
+    for u, (_, h, _) in state.items():
+        p = page_change_period(world, u)
+        if p in by_period and page_status(world, u) == 200:
+            by_period[p].append(h)
+    assert statistics.mean(by_period[1]) > statistics.mean(by_period[8])
+    hints = {h for _, h, _ in state.values()}
+    assert 3 in hints and 0 in hints
