@@ -256,6 +256,98 @@ def image_pipeline(images: DataFrame, thumb_target: int = 8) -> DataFrame:
     )
 
 
+QUALITY_SCHEMA = (
+    "image_id string, sharpness double, entropy double, "
+    "colorfulness double, error string"
+)
+
+
+def _gray(arr: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma, float64."""
+    a = arr.astype(np.float64)
+    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
+def sharpness_of(arr: np.ndarray) -> float:
+    """Variance of the 3×3 Laplacian of the luma — the standard
+    no-reference blur metric (higher = sharper). 0.0 when the image
+    is too small for the kernel."""
+    g = _gray(arr)
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return 0.0
+    lap = (
+        g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+        - 4.0 * g[1:-1, 1:-1]
+    )
+    return float(lap.var())
+
+
+def entropy_of(arr: np.ndarray) -> float:
+    """Shannon entropy (bits) of the 256-bin luma histogram — near 0
+    for flat/synthetic fills, up to 8 for noise-like content."""
+    counts = np.bincount(
+        np.clip(_gray(arr), 0, 255).astype(np.uint8).ravel(), minlength=256
+    )
+    p = counts[counts > 0] / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def colorfulness_of(arr: np.ndarray) -> float:
+    """Hasler & Süsstrunk (SPIE 2003) colorfulness:
+    sqrt(σ²_rg + σ²_yb) + 0.3·sqrt(μ²_rg + μ²_yb) over the opponent
+    axes rg = R−G, yb = (R+G)/2 − B. 0 for grayscale images."""
+    a = arr.astype(np.float64)
+    rg = a[..., 0] - a[..., 1]
+    yb = 0.5 * (a[..., 0] + a[..., 1]) - a[..., 2]
+    return float(
+        np.sqrt(rg.var() + yb.var())
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+
+
+def image_quality_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode ONCE per image, emit the three no-reference quality
+    signals; undecodable rows route to the error column (row-level
+    containment, same contract as every multimodal stage)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "image_id": [], "sharpness": [], "entropy": [],
+            "colorfulness": [], "error": [],
+        }
+        for image_id, data, w, h, fmt in zip(
+            pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+        ):
+            err = None
+            vals = (None, None, None)
+            try:
+                arr = _decode(data, fmt, int(w), int(h))
+                vals = (
+                    sharpness_of(arr), entropy_of(arr), colorfulness_of(arr)
+                )
+            except NotImplementedError:
+                err = f"codec_unavailable:{fmt}"
+            except Exception as exc:  # noqa: BLE001
+                err = f"decode_error:{type(exc).__name__}"
+            out["image_id"].append(image_id)
+            out["sharpness"].append(vals[0])
+            out["entropy"].append(vals[1])
+            out["colorfulness"].append(vals[2])
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """No-reference quality signals for the curation funnel
+    (plans/curate_images.py): blur cut by Laplacian variance, flat
+    synthetic fills by histogram entropy, grayscale spam by
+    colorfulness."""
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        image_quality_batches, schema=QUALITY_SCHEMA
+    )
+
+
 # ---- audio / video columns ----------------------------------------------
 #
 # Same opaque-binary + typed-metadata pattern as images. Audio: raw

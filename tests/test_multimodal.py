@@ -265,3 +265,105 @@ def test_container_decoders_contain_garbage(data):
                 fn(payload)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_image_quality_matches_pure_python_oracle(spark, images):
+    """Spark quality signals == an INDEPENDENT pure-python/Counter
+    re-derivation of each formula (no numpy vector ops) on real
+    decoded synth images."""
+    import math
+    from collections import Counter
+
+    from bisque_spark.operators.multimodal import image_quality
+
+    got = {r["image_id"]: r for r in image_quality(images).collect()}
+    assert all(r["error"] is None for r in got.values())
+    for image_id in ["img-t-0", "img-t-3", "img-t-11"]:
+        meta = synth_image(image_id)
+        arr = np.frombuffer(
+            decode_image(meta["bytes"], meta["fmt"]), dtype=np.uint8
+        ).reshape(meta["h"], meta["w"], 3)
+        h, w = meta["h"], meta["w"]
+        gray = [
+            [
+                0.299 * int(arr[y][x][0])
+                + 0.587 * int(arr[y][x][1])
+                + 0.114 * int(arr[y][x][2])
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        # sharpness: explicit 3x3 Laplacian, two-pass variance
+        lap = [
+            gray[y - 1][x] + gray[y + 1][x] + gray[y][x - 1]
+            + gray[y][x + 1] - 4.0 * gray[y][x]
+            for y in range(1, h - 1)
+            for x in range(1, w - 1)
+        ]
+        mu = sum(lap) / len(lap)
+        sharp = sum((v - mu) ** 2 for v in lap) / len(lap)
+        # entropy: Counter over clipped int luma
+        cnt = Counter(
+            min(255, max(0, int(gray[y][x]))) for y in range(h)
+            for x in range(w)
+        )
+        n = h * w
+        ent = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        # colorfulness: Hasler-Süsstrunk by loops
+        rg = [
+            int(arr[y][x][0]) - int(arr[y][x][1])
+            for y in range(h) for x in range(w)
+        ]
+        yb = [
+            0.5 * (int(arr[y][x][0]) + int(arr[y][x][1]))
+            - int(arr[y][x][2])
+            for y in range(h) for x in range(w)
+        ]
+
+        def var(v):
+            m = sum(v) / len(v)
+            return sum((x - m) ** 2 for x in v) / len(v)
+
+        col = math.sqrt(var(rg) + var(yb)) + 0.3 * math.sqrt(
+            (sum(rg) / n) ** 2 + (sum(yb) / n) ** 2
+        )
+        r = got[image_id]
+        assert abs(r["sharpness"] - sharp) < 1e-6 * max(1.0, sharp)
+        assert abs(r["entropy"] - ent) < 1e-9
+        assert abs(r["colorfulness"] - col) < 1e-6 * max(1.0, col)
+
+
+def test_image_quality_properties(spark):
+    """Degenerate inputs pin the formulas' fixed points: constant fill
+    → all three 0; checkerboard → sharper than blur-like gradient;
+    half-black/half-white → entropy exactly 1 bit; gray → 0 color."""
+    from bisque_spark.operators.multimodal import (
+        colorfulness_of,
+        entropy_of,
+        image_quality,
+        sharpness_of,
+    )
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert sharpness_of(flat) == 0.0
+    assert entropy_of(flat) == 0.0
+    assert colorfulness_of(flat) == 0.0
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = (((yy + xx) % 2) * 255).astype(np.uint8)
+    checker = np.stack([checker] * 3, axis=-1)
+    grad = np.stack([(xx * 8).astype(np.uint8)] * 3, axis=-1)
+    assert sharpness_of(checker) > sharpness_of(grad) > 0.0
+    assert colorfulness_of(checker) == 0.0  # grayscale
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:4] = 255
+    assert abs(entropy_of(half) - 1.0) < 1e-12
+    assert sharpness_of(np.zeros((2, 2, 3), dtype=np.uint8)) == 0.0
+
+    # containment: garbage bytes route to the error column
+    df = spark.createDataFrame(
+        [("bad-1", b"\x00\x01", 4, 4, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    [row] = image_quality(df).collect()
+    assert row["error"] is not None and row["sharpness"] is None
