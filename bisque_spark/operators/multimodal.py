@@ -348,6 +348,74 @@ def image_quality(images: DataFrame) -> DataFrame:
     )
 
 
+SIGNALS_SCHEMA = (
+    "image_id string, sharpness double, entropy double, "
+    "colorfulness double, thumb_vec array<float>, error string"
+)
+
+
+def make_image_signals_batches(thumb_target: int = 8):
+    """Factory (lazy, picklable) for the fused curation-signals stage:
+    ONE decode per image feeding BOTH the quality formulas and the
+    thumbnail luma vector that the diversity sampler embeds on. At
+    100 TB the decode dominates — running image_quality and a
+    thumbnail pass separately pays it twice (same fusion rationale as
+    image_pipeline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "image_id": [], "sharpness": [], "entropy": [],
+                "colorfulness": [], "thumb_vec": [], "error": [],
+            }
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                err, vec = None, None
+                vals = (None, None, None)
+                try:
+                    arr = _decode(data, fmt, int(w), int(h))
+                    vals = (
+                        sharpness_of(arr),
+                        entropy_of(arr),
+                        colorfulness_of(arr),
+                    )
+                    # FIXED-length grid (unlike image_pipeline's
+                    # thumbnails): tiny images upsample by nearest
+                    # neighbour so every vector is thumb_target² dims,
+                    # as the IVF centroid math requires
+                    ys = np.linspace(0, int(h) - 1, thumb_target).astype(int)
+                    xs = np.linspace(0, int(w) - 1, thumb_target).astype(int)
+                    # luma thumbnail, scaled to [0,1]: a cheap, fully
+                    # in-sandbox stand-in for a learned embedding with
+                    # the right invariance (near-identical pixels →
+                    # near-identical vectors) for diversity sampling
+                    vec = (
+                        _gray(arr[np.ix_(ys, xs)]).ravel() / 255.0
+                    ).astype(np.float32)
+                except NotImplementedError:
+                    err = f"codec_unavailable:{fmt}"
+                except Exception as exc:  # noqa: BLE001
+                    err = f"decode_error:{type(exc).__name__}"
+                out["image_id"].append(image_id)
+                out["sharpness"].append(vals[0])
+                out["entropy"].append(vals[1])
+                out["colorfulness"].append(vals[2])
+                out["thumb_vec"].append(vec)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def image_signals(images: DataFrame, thumb_target: int = 8) -> DataFrame:
+    """Fused quality + thumbnail-embedding stage for
+    plans/curate_images.run_image_curation (decode-once)."""
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        make_image_signals_batches(thumb_target), schema=SIGNALS_SCHEMA
+    )
+
+
 # ---- audio / video columns ----------------------------------------------
 #
 # Same opaque-binary + typed-metadata pattern as images. Audio: raw

@@ -367,3 +367,20 @@ def test_image_quality_properties(spark):
     )
     [row] = image_quality(df).collect()
     assert row["error"] is not None and row["sharpness"] is None
+
+
+def test_image_signals_fixed_vec(spark):
+    """thumb_vec is ALWAYS thumb_target² dims — tiny images upsample —
+    so the IVF centroid math downstream never sees ragged vectors."""
+    from bisque_spark.operators.multimodal import image_signals
+
+    flat2 = bytes(2 * 2 * 3)
+    ramp = bytes(range(240)) * 2  # 8×20
+    df = spark.createDataFrame(
+        [("a", flat2, 2, 2, "raw"), ("b", ramp, 20, 8, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_signals(df, 8).collect()}
+    assert all(r["error"] is None for r in rows.values())
+    assert all(len(r["thumb_vec"]) == 64 for r in rows.values())
+    assert all(0.0 <= v <= 1.0 for r in rows.values() for v in r["thumb_vec"])
