@@ -58,10 +58,18 @@ def run_image_curation(
     sample_per_cell: int = 50,
     n_cells: int = 8,
     thumb_target: int = 8,
-) -> dict:
+    semantic_tau: float | None = None,
+    plan_only: bool = False,
+) -> dict | DataFrame:
     """images(image_id, bytes, w, h, fmt, caption, phash) → curated
     image-caption corpus in the catalog at ``workdir``; returns stage
-    counts (a monotone funnel)."""
+    counts (a monotone funnel).
+
+    ``plan_only=True`` skips every count action and the sink and
+    returns the lazy pre-sink frame — scripts/explain_plans.py checks
+    the REAL composition's physical plan through this path (one decode
+    stage, equi-join-only pair spaces, WindowGroupLimit cap), not a
+    hand-built replica that could drift."""
     from bisque_spark.functions.text import langid_col, quality_cols
     from bisque_spark.operators.cluster import keep_canonical
     from bisque_spark.operators.dedup import exact_dedup
@@ -73,7 +81,9 @@ def run_image_curation(
     from bisque_spark.sources.catalog import ParquetCatalog
     from bisque_spark.util import pin, release_caches
 
-    counts: dict[str, int] = {"input": images.count()}
+    counts: dict[str, int] = {}
+    if not plan_only:
+        counts["input"] = images.count()
 
     # 1: the one decode pass. Pinned — five consumers (three gates,
     # the dedup joins, the diversity vectors) must NOT re-decode.
@@ -97,7 +107,8 @@ def run_image_curation(
         & (F.col("entropy") >= min_entropy)
     ).select("image_id", "thumb_vec")
     gated = pin(meta_ok.join(quality_ok, "image_id"))
-    counts["after_quality"] = gated.count()
+    if not plan_only:
+        counts["after_quality"] = gated.count()
 
     # 4: caption gate — the text side of the pair, reusing the
     # verified JVM text operators on the caption column.
@@ -106,7 +117,8 @@ def run_image_curation(
     if require_caption_lang:
         cap_filter = cap_filter & (langid_col("caption") != "und")
     captioned = gated.where(cap_filter)
-    counts["after_caption"] = captioned.count()
+    if not plan_only:
+        counts["after_caption"] = captioned.count()
 
     # 5: exact dedup — md5 over the raw bytes (byte-identical
     # re-crawls of the same asset), min image_id wins.
@@ -125,7 +137,8 @@ def run_image_curation(
     kept = pin(
         keep_canonical(deduped, pairs, "image_id", src="id_a", dst="id_b")
     )
-    counts["after_dedup"] = kept.count()
+    if not plan_only:
+        counts["after_dedup"] = kept.count()
 
     # 7: diversity sample over the thumbnail-vector space from stage 1
     # — no second decode. ≤ k per IVF cell, deterministic permutation
@@ -134,11 +147,27 @@ def run_image_curation(
     assigned, _ = ivf_build(
         emb, id_col="image_id", n_cells=n_cells, pin_index=False
     )
+    # 7b (optional): SemDeDup over the SAME index build — phash (6)
+    # catches pixel-level twins; this drops images whose THUMBNAIL
+    # VECTORS nearly coincide (rescaled/re-encoded variants whose
+    # pixels, and hence phash, differ) at cosine ≥ tau, min id kept.
+    if semantic_tau is not None:
+        from bisque_spark.operators.similarity import semantic_dedup
+
+        assigned = semantic_dedup(
+            assigned, tau=semantic_tau, id_col="image_id"
+        )
+        if not plan_only:
+            counts["after_semantic"] = assigned.count()
     sampled_ids = diversity_sample(
         assigned, k_per_cell=sample_per_cell, id_col="image_id"
     ).select("image_id")
     final = kept.join(sampled_ids.distinct(), "image_id")
-    counts["final"] = final.count()
+    if not plan_only:
+        counts["final"] = final.count()
+
+    if plan_only:
+        return final
 
     # 8: idempotent catalog sink — keyed on image_id, so re-running
     # the plan upserts rather than duplicating.

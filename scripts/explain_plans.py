@@ -297,6 +297,29 @@ def dedup_spans_plan(spark):
     return dedup_spans_corpus(docs, k=4)
 
 
+def image_curation_plan(spark):
+    """Pre-sink plan of the REAL run_image_curation composition
+    (plan_only=True): the decode is ONE cached Arrow stage consumed by
+    every downstream branch, both dedup pair spaces are equi-joins
+    (band keys / content hashes — pixels never shuffle), the diversity
+    cap is a WindowGroupLimit, and no row-at-a-time Python exists
+    anywhere."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.plans.curate_images import run_image_curation
+
+    images = spark.range(300).select(
+        F.concat(F.lit("img-x-"), F.col("id")).alias("image_id"),
+        F.lit("a caption").alias("caption"),
+    ).mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    return run_image_curation(spark, images, workdir="", plan_only=True)
+
+
 def sitemap_refresh_plan(spark):
     """Plan for the sitemap-annotated refresh schedule: hint/boost
     collapse is a hash groupBy on url_hash (map-side partial MAX —
@@ -338,6 +361,18 @@ def sitemap_refresh_plan(spark):
 
 
 EXTRA_CHECKS = {
+    "image curation funnel (pre-sink)": (
+        image_curation_plan,
+        [
+            ("InMemoryTableScan|TableCacheQueryStage",
+             "decode-once: signals cached across every consumer"),
+            ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+             "dedup pair spaces are equi-joins (band/content keys)"),
+            ("!CartesianProduct", "no all-pairs pixel comparison"),
+            ("WindowGroupLimit", "diversity cap pruned inside the window"),
+            ("!BatchEvalPython", "no row-at-a-time Python anywhere"),
+        ],
+    ),
     "sitemap-annotated refresh schedule": (
         sitemap_refresh_plan,
         [

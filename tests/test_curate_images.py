@@ -133,3 +133,35 @@ def test_diversity_prunes_dense_cells(spark, corpus, tmp_path):
     )
     assert 0 < counts["final"] <= n_cells * k
     assert counts["final"] < counts["after_dedup"]
+
+
+def test_semantic_stage_drops_thumbnail_twin(spark, corpus, tmp_path):
+    """A pixel-near-copy with a DIFFERENT phash (so stage 6 cannot see
+    it) dies at the optional SemDeDup stage; its source survives."""
+    from bisque_spark.hashing import xxhash64_bytes
+    from bisque_spark.synth import image_pixels, synth_image
+
+    base = synth_image("img-t-2")
+    px = bytearray(image_pixels("img-t-2", base["w"], base["h"]))
+    px[0] ^= 1  # one-bit pixel change: phash differs, cosine ~ 1
+    twin = bytes(px)
+    extra = spark.createDataFrame(
+        [(
+            "zzz-semtwin", twin, base["w"], base["h"], "raw",
+            "semantic twin", xxhash64_bytes(twin),
+        )],
+        IMG_SCHEMA,
+    )
+    counts = _run(
+        spark, corpus.unionByName(extra), tmp_path / "cat",
+        semantic_tau=0.999,
+    )
+    assert counts["after_semantic"] == counts["after_dedup"] - 1
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    got = {
+        r["image_id"]
+        for r in ParquetCatalog(spark, str(tmp_path / "cat"))
+        .read("curated_images").select("image_id").collect()
+    }
+    assert "img-t-2" in got and "zzz-semtwin" not in got
