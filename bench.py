@@ -325,6 +325,73 @@ def _fetch_extract_only(cpus: int, repeats: int = 3) -> dict:
     }
 
 
+IMAGES_PER_CORE = 3000  # weak scaling: corpus grows with cores
+
+
+def _images_only(cpus: int) -> dict:
+    """Subprocess entry: the image-curation funnel (plans/
+    curate_images, plan_only pre-sink path) at a given parallelism on
+    ONE fixed corpus — the 'pyspark × image' axis twin of
+    _crawl_only. WEAK scaling like the fetch+extract leg (work per
+    core constant): at 100 TB the corpus always dwarfs the cores, so
+    per-core throughput at equal load is the cluster-relevant number —
+    the funnel's post-decode stages are a fixed small-row overhead at
+    sandbox scale that a fixed-input strong-scaling run would measure
+    instead of the engine. Corpus generation (synth encode to parquet)
+    happens BEFORE the timed window; a small warm run forks
+    workers/JIT. Best-of-2 for the same hypervisor-steal reason as the
+    crawl leg."""
+    import shutil as _sh
+
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.extract import materialize_images_batches
+    from bisque_spark.plans.curate_images import run_image_curation
+    from bisque_spark.session import get_spark
+    from bisque_spark.util import release_caches
+
+    _pin_cpus(cpus)
+    spark = get_spark(
+        app_name=f"bench_images_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("BENCH_AQE", "false"),
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        },
+    )
+    n_images = IMAGES_PER_CORE * cpus
+    d = tempfile.mkdtemp(prefix="bench_imgcorpus_")
+    spark.range(n_images).select(
+        F.concat(F.lit("img-s-"), F.col("id")).alias("image_id"),
+        F.lit("a synthetic caption").alias("caption"),
+    ).repartition(max(cpus * 4, 16)).mapInPandas(
+        materialize_images_batches,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ).write.mode("overwrite").parquet(d)
+    imgs = spark.read.parquet(d)
+    run_image_curation(spark, imgs.limit(300), workdir="", plan_only=True).count()
+    release_caches()
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        run_image_curation(spark, imgs, workdir="", plan_only=True).count()
+        runs.append(time.time() - t0)
+        release_caches()
+    best = min(runs)
+    spark.stop()
+    _sh.rmtree(d, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "sec": round(best, 3),
+        "images": n_images,
+        "images_per_sec": round(n_images / best, 2),
+        "runs_sec": [round(r, 3) for r in runs],
+        "pick": "best-of-2",
+    }
+
+
 def _run_sub(mode: str, cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, mode, str(cpus)],
@@ -353,13 +420,20 @@ def scaling() -> None:
     fx_hi = _run_sub("--fx-only", hi)
     cr_lo = _run_sub("--crawl-only", lo)
     cr_hi = _run_sub("--crawl-only", hi)
+    im_lo = _run_sub("--images-only", lo)
+    im_hi = _run_sub("--images-only", hi)
     fx_eff = round((fx_hi["urls_per_sec"] / fx_lo["urls_per_sec"]) / factor, 3)
     cr_eff = round((cr_hi["urls_per_sec"] / cr_lo["urls_per_sec"]) / factor, 3)
+    im_eff = round(
+        (im_hi["images_per_sec"] / im_lo["images_per_sec"]) / factor, 3
+    )
     report = {
         "fetch_extract": {f"local{lo}": fx_lo, f"local{hi}": fx_hi,
                           "efficiency": fx_eff},
         "full_pipeline": {f"local{lo}": cr_lo, f"local{hi}": cr_hi,
                           "efficiency": cr_eff},
+        "image_curation": {f"local{lo}": im_lo, f"local{hi}": im_hi,
+                           "efficiency": im_eff},
         "target": 0.8,
     }
     print(json.dumps(report))
@@ -378,6 +452,12 @@ def scaling() -> None:
             f"{cr_lo['urls_per_sec']} urls/s | local[{hi}]: "
             f"{cr_hi['urls_per_sec']} urls/s | efficiency {cr_eff} "
             f"(target ≥0.8) |\n"
+            f"| image curation funnel {IMAGES_PER_CORE}/core imgs "
+            f"(pre-sink, weak scaling, warmed, best-of-2, AQE "
+            f"{'on' if os.environ.get('BENCH_AQE') == 'true' else 'off'}) "
+            f"| local[{lo}]: {im_lo['images_per_sec']} imgs/s | "
+            f"local[{hi}]: {im_hi['images_per_sec']} imgs/s | "
+            f"efficiency {im_eff} (target ≥0.8) |\n"
         )
 
 
@@ -388,5 +468,7 @@ if __name__ == "__main__":
         print(json.dumps(_crawl_only(int(sys.argv[2]))))
     elif len(sys.argv) > 2 and sys.argv[1] == "--fx-only":
         print(json.dumps(_fetch_extract_only(int(sys.argv[2]))))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--images-only":
+        print(json.dumps(_images_only(int(sys.argv[2]))))
     else:
         print(json.dumps(bench_once()))

@@ -79,7 +79,7 @@ def run_image_curation(
     )
     from bisque_spark.operators.similarity import diversity_sample, ivf_build
     from bisque_spark.sources.catalog import ParquetCatalog
-    from bisque_spark.util import pin, release_caches
+    from bisque_spark.util import pin, release_caches, spread
 
     counts: dict[str, int] = {}
     if not plan_only:
@@ -87,7 +87,9 @@ def run_image_curation(
 
     # 1: the one decode pass. Pinned — five consumers (three gates,
     # the dedup joins, the diversity vectors) must NOT re-decode.
-    sig = pin(image_signals(images, thumb_target=thumb_target))
+    # spread(): a small parquet-read corpus arrives as 1 partition and
+    # would serialize the Arrow decode; guarded no-op at cluster scale.
+    sig = pin(image_signals(spread(images), thumb_target=thumb_target))
 
     # 2-3: validity + quality, pure Column exprs. The metadata gate
     # works off the images frame (w/h/caption stay there); the decoded
