@@ -230,6 +230,7 @@ def run_crawl(
     authority: DataFrame | None = None,
     authority_weight: float = 1.0,
     use_sitemaps: bool = False,
+    trap_guard: "TrapGuard | None" = None,
 ) -> dict:
     """Run (or resume) the crawl; returns summary dict with table paths.
 
@@ -248,6 +249,14 @@ def run_crawl(
     canonicalized, same-host-filtered, then deduped/robots-filtered by
     the shared seed path. Resume never re-fetches sitemaps (the seed
     frontier snapshot already carries their URLs).
+
+    ``trap_guard`` (operators/trapguard.TrapGuard) drops spider-trap
+    URLs (length/depth/param caps, repeating segments, session ids)
+    from the frontier at BOTH insertion points — seeds and discovered
+    links — as a codegen'd Column filter; the committed link graph
+    still records raw edges (trap URLs are observed, never fetched),
+    mirroring the oracle crawler. Like ``authority``, a resumed crawl
+    must be handed the same guard to stay bit-identical.
     """
     from bisque_spark.functions.robots import fetch_robots
     from bisque_spark.functions.urlnorm import with_canonical
@@ -312,6 +321,10 @@ def run_crawl(
             seed_urls_df.withColumn("depth", F.lit(0)), epoch=0,
             authority=authority, authority_weight=authority_weight,
         ).dropDuplicates(["url_hash"])
+        if trap_guard is not None:
+            from bisque_spark.operators.trapguard import filter_traps
+
+            seeded, _ = filter_traps(seeded, trap_guard)
         seeded = apply_robots(seeded, robots)
         seed_path = os.path.join(workdir, "frontier_seed")
         _write(seeded.select(*FRONTIER_COLS), seed_path)
@@ -394,6 +407,10 @@ def run_crawl(
             links.withColumn("depth", F.lit(epoch + 1)), epoch=epoch + 1,
             authority=authority, authority_weight=authority_weight,
         )
+        if trap_guard is not None:
+            from bisque_spark.operators.trapguard import filter_traps
+
+            candidates, _ = filter_traps(candidates, trap_guard)
         candidates = apply_robots(candidates, robots)
         # persisted: the shard-delta job (the one other sink) reuses the
         # cogroup+anti-join result after the junction job populates it

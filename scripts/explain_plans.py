@@ -239,6 +239,27 @@ def quantize_plan(spark):
     return quantize_embeddings(emb).withColumn("d", dequantize_col())
 
 
+def trapguard_plan(spark):
+    """Plan for the spider-trap frontier filter: pure codegen'd Column
+    predicates (parse_url + rlike) — no Python stage, no shuffle, so
+    the guard is free at 10^10-URL frontier scale."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.trapguard import TrapGuard, filter_traps
+
+    frontier = spark.range(5000).select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("id") % 40).cast("string"),
+            F.lit(".example/p"),
+            F.col("id").cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    )
+    kept, _rejected = filter_traps(frontier, TrapGuard())
+    return kept
+
+
 def dedup_lines_plan(spark):
     """Plan for corpus line dedup: the keeper per line must come from
     a hash-partitioned groupBy MIN (map-side partial aggregation
@@ -406,6 +427,14 @@ EXTRA_CHECKS = {
         [
             ("!Exchange", "map-only rewrite, no shuffle"),
             ("!EvalPython", "pure JVM transform"),
+        ],
+    ),
+    "trap-guard frontier filter": (
+        trapguard_plan,
+        [
+            ("Filter", "guard is a plain pushed filter"),
+            ("!Exchange", "no shuffle added to the frontier path"),
+            ("!EvalPython", "rules are codegen'd (parse_url/rlike), no UDF"),
         ],
     ),
     "dedup_lines_corpus (line keeper)": (

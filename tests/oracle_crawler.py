@@ -77,12 +77,21 @@ def crawl_oracle(
     authority: dict[int, float] | None = None,
     authority_weight: float = 1.0,
     use_sitemaps: bool = False,
+    trap_guard=None,
 ):
     """→ dict(order=[(epoch, host, host_rank, priority, url_hash, url)],
     seen=set[int], images=[dict], links=[(src_hash, dst_hash)]).
 
     ``authority`` {url_hash: rank} mirrors the engine's authority-
-    weighted priority: -depth + weight·rank, same float association."""
+    weighted priority: -depth + weight·rank, same float association.
+    ``trap_guard`` (operators/trapguard.TrapGuard) applies the same
+    trap rules as the engine, via the shared Python twin, at both
+    frontier insertion points; raw link edges are still recorded."""
+    from bisque_spark.operators.trapguard import trap_reason
+
+    def _trapped(url: str) -> bool:
+        return trap_guard is not None and trap_reason(url, trap_guard) is not None
+
     robots = {r["host"]: r for r in robots_rows(world)}
     disallow_by_host = {h: r["disallow"] for h, r in robots.items()}
 
@@ -116,6 +125,8 @@ def crawl_oracle(
             # robots filtering happens at insertion, same as the engine
             if canon is None:
                 continue
+        if _trapped(canon):
+            continue
         h = xxhash64_str(canon)
         if canon is not None and not _disallowed(canon, disallow_by_host):
             if h not in seen:
@@ -179,6 +190,8 @@ def crawl_oracle(
                 # engine's committed link-graph slice
                 links_out.append((src_hash, h))
                 if h in seen or h in discovered:
+                    continue
+                if _trapped(canon):
                     continue
                 if _disallowed(canon, disallow_by_host):
                     continue

@@ -1,0 +1,161 @@
+"""Spider-trap guards: Column-vs-Python-twin differential, clean-world
+false-positive check, and guarded-crawl order equality vs the oracle.
+
+The reference never needs trap guards (fixed fixture walk,
+src/bisque/diagnose.py); a 10^10-URL frontier does (Mercator, WWW
+1999). Correctness here is (a) the Column form and the Python twin
+agree on every URL — crafted corpus + hypothesis — and (b) a crawl
+with the guard enabled still matches the oracle crawler applying the
+same twin, with every planted trap URL absent from order AND seen.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from bisque_spark.operators.trapguard import (
+    TrapGuard,
+    filter_traps,
+    trap_reason,
+    trap_reason_col,
+)
+from bisque_spark.plans.crawl import read_order, read_seen, run_crawl
+from bisque_spark.synth import World, page_url, seed_urls
+from bisque_spark.hashing import xxhash64_str
+from oracle_crawler import crawl_oracle
+
+GUARD = TrapGuard()
+TIGHT = TrapGuard(
+    max_url_len=64, max_path_depth=3, max_query_params=2, max_segment_repeat=1
+)
+
+
+def _spark_reasons(spark, urls, guard):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select("url", trap_reason_col(guard).alias("r"))
+        .collect()
+    )
+    return {r["url"]: r["r"] for r in rows}
+
+
+CRAFTED = [
+    "http://h0.example/p1.html",                       # clean
+    "http://h0.example/",                              # clean root
+    "http://h0.example/a/b/b/b/x.html",                # repeating segments
+    "http://h0.example/a/b/b/x.html",                  # run of 2 — allowed
+    "http://h0.example/cal/2024/01/cal/2024/01/x",     # repeat, non-adjacent — allowed
+    "http://h0.example/p1.html;jsessionid=deadbeef12", # session id in path
+    "http://h0.example/p?phpsessid=a1",                # session id in query
+    "http://h0.example/p?sid=1",                       # sid param
+    "http://h0.example/p?side=1",                      # NOT sid (no word-boundary trap)
+    "http://h0.example/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",   # 8 params — allowed
+    "http://h0.example/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9",  # 9 — explosion
+    "http://h0.example/" + "x" * 2048,                 # too long
+    "http://h0.example/" + "/".join(f"s{i}" for i in range(17)),  # too deep
+    "http://h0.example/" + "/".join(f"s{i}" for i in range(16)),  # 16 — allowed at root? (17 slashes)
+    "http://h0.example" + "/a" * 16,                   # exactly 16 segments — allowed
+    "http://h0.example" + "/a" * 16 + "/b",            # 17 — deep (and /a*16 repeats!)
+]
+
+
+def test_trap_reason_crafted_differential(spark):
+    got = _spark_reasons(spark, CRAFTED, GUARD)
+    for u in CRAFTED:
+        assert got[u] == trap_reason(u, GUARD), u
+    # the corpus actually exercises every rule and the clean path
+    reasons = {trap_reason(u, GUARD) for u in CRAFTED}
+    assert {
+        None, "repeating_segments", "session_id", "query_explosion",
+        "url_too_long", "path_too_deep",
+    } <= reasons
+
+
+_SEG = st.text(alphabet="abx2", min_size=1, max_size=3)
+
+
+@st.composite
+def _urls(draw):
+    host = draw(st.sampled_from(["h0.example", "h1.example"]))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=6))
+    # adjacent duplication pressure so the repeat rule actually fires
+    if draw(st.booleans()) and segs:
+        i = draw(st.integers(0, len(segs) - 1))
+        segs[i:i] = [segs[i]] * draw(st.integers(1, 3))
+    path = "/" + "/".join(segs)
+    nq = draw(st.integers(0, 4))
+    keys = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "sid", "q1", "q2"]),
+            min_size=nq, max_size=nq,
+        )
+    )
+    query = "&".join(f"{k}={draw(st.integers(0, 9))}" for k in keys)
+    return f"http://{host}{path}" + (f"?{query}" if query else "")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=25, unique=True))
+def test_trap_reason_hypothesis_differential(spark, urls):
+    got = _spark_reasons(spark, urls, TIGHT)
+    for u in urls:
+        assert got[u] == trap_reason(u, TIGHT), u
+
+
+def test_clean_world_urls_pass():
+    # every URL the synth world can mint is guard-clean: the guard
+    # never perturbs an ordinary crawl (false-positive check)
+    world = World(n_hosts=6, n_seeds=8)
+    urls = [
+        page_url(world, i, p)
+        for i in range(world.n_hosts)
+        for p in range(0, 30)
+    ]
+    assert all(trap_reason(u, GUARD) is None for u in urls)
+
+
+def test_filter_traps_plan_is_codegen(spark):
+    df = spark.createDataFrame([("http://h/p",)], "url string")
+    kept, rejected = filter_traps(df, GUARD)
+    for frame in (kept, rejected):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # pure filter: no shuffle
+    assert kept.count() == 1 and rejected.count() == 0
+
+
+def test_guarded_crawl_matches_oracle(spark, tmp_path):
+    world = World(n_hosts=8, n_seeds=10)
+    h0 = world.host(0)
+    traps = [
+        f"http://{h0}/a/b/b/b/x.html",
+        f"http://{h0}/p1.html;jsessionid=deadbeef",
+        f"http://{h0}/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9",
+    ]
+    seeds = list(seed_urls(world)) + [(u, 0) for u in traps]
+    assert all(trap_reason(u, GUARD) is not None for u in traps)
+
+    res = run_crawl(
+        spark, world, seeds, workdir=str(tmp_path / "wd"),
+        max_epochs=3, trap_guard=GUARD,
+    )
+    oracle = crawl_oracle(world, seeds, max_epochs=3, trap_guard=GUARD)
+
+    got = sorted(
+        (r["epoch"], r["host"], r["host_rank"], float(r["priority"]),
+         r["url_hash"], r["url"])
+        for r in read_order(spark, res).collect()
+    )
+    want = sorted(
+        (e, h, rk, float(p), uh, u) for (e, h, rk, p, uh, u) in oracle["order"]
+    )
+    assert got == want
+    assert got, "guarded crawl fetched nothing — vacuous"
+
+    seen = {r["url_hash"] for r in read_seen(spark, res).collect()}
+    assert seen == oracle["seen"]
+    for u in traps:
+        h = xxhash64_str(u)
+        assert h not in seen
+        assert all(row[4] != h for row in got)
