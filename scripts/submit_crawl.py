@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=100)
     ap.add_argument("--seeds", type=int, default=150)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--trap-guard",
+        action="store_true",
+        help="enable spider-trap URL filters (operators/trapguard "
+        "defaults); a resumed crawl must keep the same setting",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -36,6 +42,7 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    from bisque_spark.operators.trapguard import TrapGuard
     from bisque_spark.plans.crawl import run_crawl
     from bisque_spark.synth import World, seed_urls
 
@@ -47,6 +54,7 @@ def main() -> None:
         workdir=args.workdir,
         max_epochs=args.epochs,
         resume=args.resume,
+        trap_guard=TrapGuard() if args.trap_guard else None,
     )
     print("CRAWL_RESULT " + json.dumps({"epochs": res["epochs"]}))
     spark.stop()
