@@ -11,10 +11,17 @@ Rules applied (RFC 3986 §6.2.2-6.2.3):
 - default port stripped (http:80, https:443)
 - dot-segments removed from the path
 - percent-encoding: unreserved characters decoded, hex digits
-  uppercased, reserved/non-ASCII left encoded
+  uppercased, reserved left encoded
+- characters ILLEGAL in their component (raw space, ``"<>{}|\\^`` …,
+  non-ASCII, stray ``%``) are percent-encoded, so every canonical URL
+  is java.net.URI-parseable — downstream JVM ``F.parse_url`` (the trap
+  guard, host extraction) never NULLs out on a canonical URL and the
+  Column forms stay bit-identical to their Python twins
+- hosts that are not a valid RFC 3986 reg-name (raw space etc.; also
+  bracketed IPv6 literals) are rejected → None — not schedulable
 - fragment dropped
 - empty path → "/"
-- query preserved verbatim except percent-hex normalization
+- query preserved verbatim except percent-hex + illegal-char encoding
 
 ``canonicalize_url`` is a pure function applied over pandas Series
 inside an Arrow batch (pandas UDF) — one regex-free pass per URL, no
@@ -39,26 +46,46 @@ _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 _HEX = "0123456789ABCDEFabcdef"
+_SUB_DELIMS = set("!$&'()*+,;=")
+# RFC 3986: path = *( pchar / "/" ), pchar = unreserved / pct / sub-delims
+# / ":" / "@"; query additionally allows "/" and "?" (both sets below
+# keep "/" since we encode the already-split component, not segments)
+_PATH_SAFE = _UNRESERVED | _SUB_DELIMS | set(":@/")
+_QUERY_SAFE = _PATH_SAFE | {"?"}
+# reg-name = *( unreserved / pct-encoded / sub-delims ); hostnames are
+# already lowercased, and a '%' in a host is vanishingly rare — reject
+# rather than guess (also rejects bracketless IPv6 from urlsplit)
+_HOST_SAFE = _UNRESERVED | _SUB_DELIMS
 
 
-def _norm_percent(s: str) -> str:
-    """Uppercase %XX hex; decode %XX for unreserved chars."""
-    if "%" not in s:
+def _norm_percent(s: str, safe: frozenset | set = _PATH_SAFE) -> str:
+    """One pass: uppercase valid %XX hex (decoding unreserved),
+    percent-encode stray '%' and any char outside ``safe`` (UTF-8
+    bytes) — output contains only chars java.net.URI accepts in the
+    component."""
+    if "%" not in s and all(c in safe for c in s):
         return s
     out = []
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "%" and i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
-            code = int(s[i + 1 : i + 3], 16)
-            ch = chr(code)
-            if ch in _UNRESERVED:
-                out.append(ch)
-            else:
-                out.append("%" + s[i + 1 : i + 3].upper())
-            i += 3
-        else:
+        if c == "%":
+            if i + 2 < n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+                code = int(s[i + 1 : i + 3], 16)
+                ch = chr(code)
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + s[i + 1 : i + 3].upper())
+                i += 3
+            else:  # stray '%' — illegal everywhere; encode it
+                out.append("%25")
+                i += 1
+        elif c in safe:
             out.append(c)
+            i += 1
+        else:  # illegal in this component (space, '<', non-ASCII, …)
+            out.extend("%%%02X" % b for b in c.encode("utf-8"))
             i += 1
     return "".join(out)
 
@@ -115,7 +142,7 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
     if scheme not in ("http", "https"):
         return None
     host = (parts.hostname or "").lower()
-    if not host:
+    if not host or any(c not in _HOST_SAFE for c in host):
         return None
     try:
         port = parts.port
@@ -124,8 +151,8 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    path = _remove_dot_segments(_norm_percent(parts.path)) or "/"
-    query = _norm_percent(parts.query)
+    path = _remove_dot_segments(_norm_percent(parts.path, _PATH_SAFE)) or "/"
+    query = _norm_percent(parts.query, _QUERY_SAFE)
     return urlunsplit((scheme, netloc, path, query, ""))
 
 

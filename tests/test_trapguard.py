@@ -103,6 +103,34 @@ def test_trap_reason_hypothesis_differential(spark, urls):
         assert got[u] == trap_reason(u, TIGHT), u
 
 
+# ADVICE r5 (medium): raw hrefs with java.net.URI-illegal chars made
+# F.parse_url NULL while the twin string-sliced — divergence. The fix
+# is upstream (canonicalize_url percent-encodes illegal chars; the
+# guard only ever sees canonical URLs in the crawl plan). This
+# differential feeds canonicalized NASTY urls through both forms.
+_NASTY = st.text(alphabet='ab2 %"<>{}|^é?;&=', min_size=0, max_size=8)
+
+
+@st.composite
+def _nasty_canonical(draw):
+    from bisque_spark.functions.urlnorm import canonicalize_url
+
+    host = draw(st.sampled_from(["h0.example", "h1.example"]))
+    segs = draw(st.lists(_NASTY, min_size=0, max_size=5))
+    q = draw(_NASTY)
+    raw = f"http://{host}/" + "/".join(segs) + (f"?{q}" if q else "")
+    c = canonicalize_url(raw)
+    return c if c is not None else f"http://{host}/"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_nasty_canonical(), min_size=1, max_size=25, unique=True))
+def test_trap_reason_nasty_canonical_differential(spark, urls):
+    got = _spark_reasons(spark, urls, TIGHT)
+    for u in urls:
+        assert got[u] == trap_reason(u, TIGHT), u
+
+
 def test_clean_world_urls_pass():
     # every URL the synth world can mint is guard-clean: the guard
     # never perturbs an ordinary crawl (false-positive check)
