@@ -46,15 +46,117 @@ _INDEX_RE = r"<sitemapindex[\s>]"
 # to the literal "&lt;" (double-escape stays escaped once)
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
              ("&apos;", "'"), ("&amp;", "&")]
+# numeric character references — legal in real sitemaps (ADVICE r5):
+# decoded BEFORE the named entities, so "&amp;#65;" stays the literal
+# "&#65;" (its "&#" is masked by the &amp;) — one documented quirk
+# remains: "&#38;lt;" decodes to "<" (sequential-pass subset, same
+# contract as the chained named-entity replace above)
+_NUMREF_RE = r"&#([0-9]{1,8}|[xX][0-9A-Fa-f]{1,6});"
+# CDATA-wrapped loc content is verbatim (no entity decode), per XML
+_CDATA_RE = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
+
+
+def _codepoint_char_col(ref: F.Column) -> F.Column:
+    """'65' / 'x41' → the character, via UTF-8 percent-encoding +
+    url_decode (Spark's chr() is ASCII-only mod 256, so the JVM path
+    builds the UTF-8 bytes arithmetically). Surrogates and
+    out-of-range scalar values → U+FFFD, matching the Python twin."""
+    cp = (
+        F.when(
+            ref.rlike("^[xX]"),
+            F.conv(F.substring(ref, 2, 8), 16, 10).try_cast("long"),
+        )
+        .otherwise(ref.try_cast("long"))
+        .cast("int")
+    )
+    b = lambda c: c.cast("int")  # noqa: E731 — format_string wants int
+    pct = (
+        F.when(cp < 0x80, F.format_string("%%%02X", b(cp)))
+        .when(
+            cp < 0x800,
+            F.format_string(
+                "%%%02X%%%02X",
+                b(F.shiftright(cp, 6).bitwiseOR(F.lit(0xC0))),
+                b(cp.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))),
+            ),
+        )
+        .when(
+            cp < 0x10000,
+            F.format_string(
+                "%%%02X%%%02X%%%02X",
+                b(F.shiftright(cp, 12).bitwiseOR(F.lit(0xE0))),
+                b(
+                    F.shiftright(cp, 6)
+                    .bitwiseAND(F.lit(0x3F))
+                    .bitwiseOR(F.lit(0x80))
+                ),
+                b(cp.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "%%%02X%%%02X%%%02X%%%02X",
+                b(F.shiftright(cp, 18).bitwiseOR(F.lit(0xF0))),
+                b(
+                    F.shiftright(cp, 12)
+                    .bitwiseAND(F.lit(0x3F))
+                    .bitwiseOR(F.lit(0x80))
+                ),
+                b(
+                    F.shiftright(cp, 6)
+                    .bitwiseAND(F.lit(0x3F))
+                    .bitwiseOR(F.lit(0x80))
+                ),
+                b(cp.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))),
+            ),
+        )
+    )
+    bad = (
+        cp.isNull()
+        | (cp < 0)
+        | (cp > 0x10FFFF)
+        | ((cp >= 0xD800) & (cp <= 0xDFFF))
+    )
+    return F.when(bad, F.lit("�")).otherwise(F.url_decode(pct))
+
+
+def _numref_decode_col(c: F.Column) -> F.Column:
+    refs = F.regexp_extract_all(c, F.lit(_NUMREF_RE), F.lit(1))
+    parts = F.split(c, _NUMREF_RE)
+    stitched = F.aggregate(
+        F.sequence(F.lit(1), F.size(refs)),
+        F.element_at(parts, 1),
+        lambda acc, i: F.concat(
+            acc,
+            _codepoint_char_col(F.element_at(refs, i)),
+            F.element_at(parts, i + 1),
+        ),
+    )
+    # sequence(1, 0) would be the DESCENDING [1, 0] — guard size==0
+    return F.when(F.size(refs) == 0, c).otherwise(stitched)
 
 
 def _unescape_col(c: F.Column) -> F.Column:
+    inner = F.regexp_extract(c, _CDATA_RE, 1)
+    decoded = _numref_decode_col(c)
     for ent, ch in _ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.when(c.rlike(_CDATA_RE), F.trim(inner)).otherwise(decoded)
+
+
+def _numref_py(m: re.Match) -> str:
+    s = m.group(1)
+    cp = int(s[1:], 16) if s[0] in "xX" else int(s)
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�"
+    return chr(cp)
 
 
 def _unescape_py(s: str) -> str:
+    m = re.match(_CDATA_RE, s)
+    if m:
+        return m.group(1).strip()
+    s = re.sub(_NUMREF_RE, _numref_py, s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
     return s

@@ -284,9 +284,11 @@ def annotate_seen_from_sitemap(
     the frontier's own url_hash (determinism contract: everything
     derives from url_hash), and LEFT-join the per-URL hints —
 
-        change_hint = sitemap hint, else 0 (static; a URL the site
-                      doesn't list gets the slowest refresh)
-        boost       = 2·priority, else ×1
+        change_hint = greatest(prior hint, sitemap hint) — AIMD state
+                      learned via apply_refresh_observations is never
+                      clobbered; an unlisted URL keeps its learned
+                      bucket (first-seed default 0 = slowest)
+        boost       = 2·priority, else the prior boost (default ×1)
 
     Scale shape: seen is 10^10 rows hash-partitioned by url_hash; the
     sitemap side is ~pages-per-site × hosts, same key, so this is one
@@ -311,10 +313,23 @@ def annotate_seen_from_sitemap(
             F.max("sm_boost").alias("sm_boost"),
         )
     )
+    prior_hint = (
+        F.coalesce("change_hint", F.lit(0))
+        if "change_hint" in seen.columns
+        else F.lit(0)
+    )
+    prior_boost = (
+        F.coalesce("boost", F.lit(1.0))
+        if "boost" in seen.columns
+        else F.lit(1.0)
+    )
     return (
         seen.join(hints, "url_hash", "left")
-        .withColumn("change_hint", F.coalesce("sm_hint", F.lit(0)))
-        .withColumn("boost", F.coalesce("sm_boost", F.lit(1.0)))
+        .withColumn(
+            "change_hint",
+            F.greatest(F.coalesce("sm_hint", F.lit(0)), prior_hint),
+        )
+        .withColumn("boost", F.coalesce("sm_boost", prior_boost))
         .drop("sm_hint", "sm_boost")
     )
 

@@ -99,16 +99,24 @@ def build_response_record(
     return head + b"\r\n" + block + b"\r\n\r\n"
 
 
-def build_warcinfo_record(date: str, n_records: int) -> bytes:
+def build_warcinfo_record(
+    date: str, n_records: int, segment_key: str = ""
+) -> bytes:
+    """``segment_key`` (the segment's first URL, deterministic under
+    shuffle reorder) is mixed into the record-id seed so each
+    partition's warcinfo gets a globally-unique WARC-Record-ID as ISO
+    28500 requires — a shared per-epoch id would collide across the
+    epoch's segments."""
     block = (
         "software: bisque_spark\r\n"
         "format: WARC File Format 1.1\r\n"
         f"records: {n_records}\r\n"
     ).encode("ascii")
+    rid = _record_id(f"warcinfo:{segment_key}:{n_records}", date)
     headers = [
         (WARC_VERSION, None),
         ("WARC-Type", "warcinfo"),
-        ("WARC-Record-ID", f"<{_record_id('warcinfo', date)}>"),
+        ("WARC-Record-ID", f"<{rid}>"),
         ("WARC-Date", date),
         ("Content-Type", "application/warc-fields"),
         ("Content-Length", str(len(block))),
@@ -217,7 +225,7 @@ def warc_segments(
         if not rows:
             return
         rows.sort(key=lambda t: t[0])
-        recs = [build_warcinfo_record(date, len(rows))] + [
+        recs = [build_warcinfo_record(date, len(rows), rows[0][0])] + [
             build_response_record(u, s, c, date) for (u, s, c) in rows
         ]
         if compress:

@@ -23,6 +23,7 @@ World properties (FIXTURES.md §3, SURVEY.md §7.1 step 2):
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from dataclasses import dataclass
@@ -569,7 +570,16 @@ def sitemap_bytes(world: World, url: str) -> tuple[int, bytes | None]:
 
     parts = urlsplit(url)
     host = (parts.hostname or "").lower()
-    if host not in {world.host(i) for i in range(world.n_hosts)}:
+    # validate by parsing the h{NNNN} index — O(1), not O(n_hosts)
+    # set-rebuild per fetched URL (ADVICE r5: quadratic in world size
+    # inside the mapInPandas fetch loops)
+    m = re.fullmatch(r"h(\d{4})\.example(\d)\.test", host)
+    if (
+        m is None
+        or int(m.group(1)) >= world.n_hosts
+        or int(m.group(1)) % 7 != int(m.group(2))
+        or world.host(int(m.group(1))) != host
+    ):
         return 404, None
     doc = sitemap_xml_docs(world, host).get(parts.path)
     if doc is None:

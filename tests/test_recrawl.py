@@ -111,6 +111,40 @@ def test_reopen_flow_feeds_frontier_again(spark):
     assert got == want
 
 
+def test_annotate_preserves_learned_aimd_hints(spark):
+    """ADVICE r5: annotation must never clobber AIMD state learned via
+    apply_refresh_observations — change_hint = greatest(prior, sitemap
+    hint); an unlisted URL keeps its learned bucket and prior boost."""
+    from bisque_spark.hashing import xxhash64_str
+    from bisque_spark.operators.recrawl import annotate_seen_from_sitemap
+
+    listed = "http://a.test/listed"
+    unlisted = "http://a.test/unlisted"
+    seen = spark.createDataFrame(
+        [
+            (xxhash64_str(listed), listed, "a.test", 1, 3, 1.5),
+            (xxhash64_str(unlisted), unlisted, "a.test", 1, 2, 0.8),
+        ],
+        "url_hash long, url string, host string, fetched_epoch int,"
+        " change_hint int, boost double",
+    )
+    # sitemap lists `listed` as static (hint 0, priority 0.1 → ×0.2)
+    entries = spark.createDataFrame(
+        [("a.test", listed, None, None, 0.1)],
+        "host string, loc string, lastmod string, changefreq string,"
+        " priority double",
+    )
+    ann = {
+        r["url"]: (r["change_hint"], round(r["boost"], 6))
+        for r in annotate_seen_from_sitemap(seen, entries, "2026-08-17")
+        .collect()
+    }
+    # learned hint 3 survives the weaker sitemap hint; sitemap boost
+    # replaces the prior boost for listed URLs only
+    assert ann[listed] == (3, 0.2)
+    assert ann[unlisted] == (2, 0.8)
+
+
 def test_sitemap_refresh_composition_matches_oracle(spark):
     """sitemap entries → annotate_seen_from_sitemap → due_for_refresh,
     hash-verified against an independent python+DuckDB oracle: hints

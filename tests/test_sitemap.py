@@ -72,6 +72,61 @@ def test_column_parser_matches_python_twin(spark):
         assert list(got["children"]) == want["children"], (host, path)
 
 
+# numeric character references + CDATA sections are legal in real
+# sitemaps (ADVICE r5) — crafted foreign docs, Column == twin == want
+_CRAFTED = [
+    # (loc-as-written, decoded loc)
+    ("http://ex.test/caf&#xE9;", "http://ex.test/café"),
+    ("http://ex.test/caf&#233;", "http://ex.test/café"),
+    ("http://ex.test/a&#x20AC;b", "http://ex.test/a€b"),
+    ("http://ex.test/&#x1F600;", "http://ex.test/\U0001f600"),
+    ("http://ex.test/A&#65;&#x41;", "http://ex.test/AAA"),
+    # surrogate / out-of-range scalar → U+FFFD
+    ("http://ex.test/&#xD800;", "http://ex.test/�"),
+    ("http://ex.test/&#1114112;", "http://ex.test/�"),
+    # &amp; masks the following ref (decoded once, numeric-first)
+    ("http://ex.test/&amp;#65;", "http://ex.test/&#65;"),
+    # named entities still decode, mixed with refs
+    ("http://ex.test/?a=1&amp;b=&#50;", "http://ex.test/?a=1&b=2"),
+    # CDATA wrapper: verbatim (no entity decode), trimmed
+    ("<![CDATA[http://ex.test/x?a=1&b=2]]>", "http://ex.test/x?a=1&b=2"),
+    ("<![CDATA[ http://ex.test/&amp;raw ]]>", "http://ex.test/&amp;raw"),
+    # digit-run caps: over-long refs pass through verbatim
+    ("http://ex.test/&#999999999;", "http://ex.test/&#999999999;"),
+]
+
+
+def test_numeric_refs_and_cdata_column_twin_and_truth(spark):
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{raw}</loc></url>" for raw, _ in _CRAFTED
+    ) + "</urlset>"
+    want = [dec for _, dec in _CRAFTED]
+    twin = [e["loc"] for e in parse_sitemap(xml)["entries"]]
+    assert twin == want
+    df = spark.createDataFrame([(xml,)], "xml string")
+    [row] = df.select(
+        sitemap_entries_col(F.col("xml")).alias("entries")
+    ).collect()
+    assert [e["loc"] for e in row["entries"]] == want
+
+
+def test_cdata_child_locs_column_twin(spark):
+    xml = (
+        "<sitemapindex><sitemap>"
+        "<loc><![CDATA[http://ex.test/sm1.xml]]></loc>"
+        "</sitemap><sitemap>"
+        "<loc>http://ex.test/sm&#50;.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    want = ["http://ex.test/sm1.xml", "http://ex.test/sm2.xml"]
+    assert parse_sitemap(xml)["children"] == want
+    df = spark.createDataFrame([(xml,)], "xml string")
+    [row] = df.select(
+        sitemap_child_locs_col(F.col("xml")).alias("c")
+    ).collect()
+    assert list(row["c"]) == want
+
+
 def test_parsed_locs_recover_ground_truth():
     """Parsing the generated XML tree must recover EXACTLY the
     ground-truth loc list (incl. the &amp;-escaped query URL) — this

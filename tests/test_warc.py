@@ -89,6 +89,26 @@ def test_parse_skips_nothing_but_reader_filters_types(spark):
     assert len(out) == 1 and out[0]["url"] == url
 
 
+def test_warcinfo_record_ids_unique_across_segments(spark):
+    # ISO 28500 §5.2: WARC-Record-ID is globally unique — each
+    # partition's warcinfo must get its own id (segment_key mixed into
+    # the seed), not one shared per-epoch id (ADVICE r5)
+    rows = _fetch_rows(4, 3)
+    df = spark.createDataFrame(rows, "url string, status int, content binary")
+    segs = warc_segments(df.repartition(4, "url"), epoch=1).collect()
+    assert len(segs) > 1
+    ids = []
+    for s in segs:
+        recs = parse_warc(bytes(s["segment"]))
+        ids.extend(
+            r["headers"]["WARC-Record-ID"]
+            for r in recs
+            if r["headers"]["WARC-Type"] == "warcinfo"
+        )
+    assert len(ids) == len(segs)
+    assert len(set(ids)) == len(ids)
+
+
 def test_structural_damage_raises():
     date = warc_date_for_epoch(0)
     rec = build_response_record("http://h.test/", 200, b"abc", date)
