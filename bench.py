@@ -130,15 +130,28 @@ def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
 def bench_once() -> dict:
     from bisque_spark.session import get_spark
 
-    # record machine load BEFORE the run: the repo's bench protocol
+    # idle-by-construction (VERDICT r5 #1): the repo's bench protocol
     # requires an idle box (±40% single-run swing otherwise — the
-    # BENCH_r04 relational-regression lesson); a loaded-machine artifact
-    # should be self-diagnosing from its own JSON
+    # BENCH_r04 relational-regression lesson; BENCH_r05 shipped at
+    # loadavg 12.86). Don't just warn — WAIT, bounded, for the 1-min
+    # load to drop below 2, recording how long we waited so a still-hot
+    # artifact is self-diagnosing from its own JSON.
+    waited_s = 0
+    max_wait = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT_MAX_S", "600"))
+    while os.getloadavg()[0] > 2.0 and waited_s < max_wait:
+        if waited_s == 0:
+            print(
+                f"loadavg {os.getloadavg()[0]:.2f} > 2 — waiting for an "
+                f"idle machine (up to {max_wait}s; protocol: idle box)",
+                flush=True,
+            )
+        time.sleep(10)
+        waited_s += 10
     loadavg = [round(x, 2) for x in os.getloadavg()]
     if loadavg[0] > 2.0:
         print(
-            f"WARNING: 1-min loadavg {loadavg[0]} > 2 — bench numbers "
-            "will be unreliable (protocol: idle machine)",
+            f"WARNING: 1-min loadavg {loadavg[0]} > 2 after waiting "
+            f"{waited_s}s — bench numbers will be unreliable",
             flush=True,
         )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -181,6 +194,7 @@ def bench_once() -> dict:
         "crawl_urls_per_sec": round(crawl_urls / crawl_s, 2),
         "cpus": cpus,
         "loadavg": loadavg,
+        "idle_wait_s": waited_s,
     }
 
 
@@ -392,6 +406,115 @@ def _images_only(cpus: int) -> dict:
     }
 
 
+SWEEP_ENTRIES = [
+    # the top bench entries that read sf tables (crawl entries have a
+    # fixed synthetic world — covered by --scaling instead); the two
+    # deliberate all-pairs anchors are excluded by design (quadratic)
+    "pricing_summary",
+    "events_sessionize",
+    "events_asof_join",
+    "minhash_near_dups",
+    "lsh_embedding_pairs",
+    "extract_captions",
+]
+SWEEP_FACTOR = 10.0  # sf0.1-equivalent → sf1-equivalent
+
+
+def _sweep_lsh_linear(spark, sf_dir):
+    """lsh_near_pairs at min_cosine=0.8 with AUTO-SIZED params — an
+    OUTPUT-LINEAR operating point. The queries() entry runs at 0.3,
+    where even the real testdata has ~15k pairs ≥ threshold out of 2M
+    (quadratic output by construction on near-uniform vectors):
+    sweeping it would measure result-set growth, not the engine. At
+    0.8 only the planted near-dups (linear in rows) survive. Params
+    are auto-tuned per corpus size (similarity.tune_lsh_params): the
+    first r6 sweep measured 19× time at 10× rows with FIXED n_bits=3 —
+    candidate work is Θ(n²/2^bits) — so fixed-width LSH is itself the
+    scale bug this sweep exists to catch."""
+    import pyspark.sql.functions as F
+
+    from bisque_spark.operators.similarity import lsh_near_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = lsh_near_pairs(emb, min_cosine=0.8, n_bits=None, n_tables=None)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SWEEP_OVERRIDES = {"lsh_embedding_pairs": _sweep_lsh_linear}
+
+
+def sf_sweep() -> None:
+    """Scale-linearity evidence (VERDICT r5 Next-round #3): time the
+    top sf-table entries at two generated data scales 10× apart (sf0.1
+    and sf1 equivalents — /root/testdata has no sf1 and is read-only,
+    so BOTH points come from bisque_spark.sweepgen, same generator) and
+    report time-ratio vs data-ratio. A linear operator shows ratio ≈
+    data ratio (≤ ~1.3× linear allowed for shuffle/spill constants)."""
+    import statistics
+
+    import __spark_entry__ as entrymod
+
+    from bisque_spark.session import get_spark
+    from bisque_spark.sweepgen import generate_sweep_tables
+    from bisque_spark.util import release_caches
+
+    base = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/tmp/bisque_sweep")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bisque_spark_sf_sweep",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    dirs = {}
+    for scale, tag in [(1.0, "sfA"), (SWEEP_FACTOR, "sfB")]:
+        d = os.path.join(base, tag)
+        generate_sweep_tables(spark, d, scale)
+        dirs[tag] = d
+    qs = entrymod.queries()
+    _warm_session(spark)
+    report: dict[str, dict] = {}
+    for name in SWEEP_ENTRIES:
+        fn = SWEEP_OVERRIDES.get(name, qs.get(name))
+        per_scale = {}
+        for tag in ("sfA", "sfB"):
+            runs = []
+            for _ in range(REPLICATES):
+                t0 = time.time()
+                _force(fn(spark, dirs[tag]))
+                runs.append(time.time() - t0)
+                release_caches()
+            per_scale[tag] = round(statistics.median(runs), 3)
+        ratio = round(per_scale["sfB"] / per_scale["sfA"], 3)
+        report[name] = {
+            **per_scale,
+            "time_ratio": ratio,
+            "vs_linear": round(ratio / SWEEP_FACTOR, 3),
+        }
+    spark.stop()
+    out = {
+        "metric": f"sf-sweep time ratio at {SWEEP_FACTOR}x rows",
+        "data_ratio": SWEEP_FACTOR,
+        "entries": report,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n### sf-sweep (time ratio at {SWEEP_FACTOR:.0f}x rows, "
+            f"median of {REPLICATES}; linear = {SWEEP_FACTOR:.0f})\n\n"
+            "| entry | sfA s | sfB s | time ratio | ratio/linear |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for name, r in report.items():
+            f.write(
+                f"| {name} | {r['sfA']} | {r['sfB']} | {r['time_ratio']} "
+                f"| {r['vs_linear']} |\n"
+            )
+
+
 def _run_sub(mode: str, cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, mode, str(cpus)],
@@ -464,6 +587,8 @@ def scaling() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf-sweep":
+        sf_sweep()
     elif len(sys.argv) > 2 and sys.argv[1] == "--crawl-only":
         print(json.dumps(_crawl_only(int(sys.argv[2]))))
     elif len(sys.argv) > 2 and sys.argv[1] == "--fx-only":

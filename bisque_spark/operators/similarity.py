@@ -310,14 +310,49 @@ def ivf_topk(
     return ivf_query(assigned, centroids, query, k, vec_col, id_col, n_probe)
 
 
+def tune_lsh_params(
+    n_rows: int,
+    min_cosine: float,
+    target_recall: float = 0.9,
+    target_bucket: int = 200,
+    max_tables: int = 24,
+) -> tuple[int, int]:
+    """(n_bits, n_tables) sized for ``n_rows`` at the operating point.
+
+    FIXED bits do not scale: candidate work is Θ(n²/2^bits · tables),
+    so a bit-width chosen at one corpus size is quadratic at 10× it
+    (the r6 sf-sweep measured 19× time at 10× rows for bits=3). The
+    scale rule is the standard hyperplane-LSH sizing: grow bits with
+    log2(n/target_bucket) — expected bucket occupancy stays constant —
+    then choose the smallest table count whose OR-amplified recall
+    1 − (1 − p^bits)^tables clears ``target_recall`` at the threshold
+    angle (p = 1 − θ/π). Work becomes Θ(n · bucket · tables(n)) with
+    tables ∝ n^(log2(1/p)) — the known sub-quadratic LSH exponent; for
+    min_cosine 0.8 that is ~n^1.33. For strictly-linear embedding
+    dedup at 100 TB the engine's alternative is the IVF/SemDeDup
+    within-cell path (semantic_dup_ids)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, min_cosine))) / math.pi
+    n_bits = max(3, math.ceil(math.log2(max(2, n_rows) / target_bucket)))
+    while True:
+        pr = p**n_bits
+        if pr >= 1.0:
+            return n_bits, 1
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if t <= max_tables or n_bits <= 3:
+            return n_bits, max(1, min(t, max_tables))
+        n_bits -= 1  # recall infeasible at this width: trade bucket size
+
+
 def lsh_near_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_bits: int = 6,
+    n_bits: int | None = 6,
     min_cosine: float = 0.8,
-    n_tables: int = 12,
+    n_tables: int | None = 12,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs via OR-amplified multi-table hyperplane
@@ -342,6 +377,12 @@ def lsh_near_pairs(
     from bisque_spark.util import pin, spread
 
     src = df.select(id_col, vec_col)
+    if n_bits is None or n_tables is None:
+        # auto-size for the corpus (tune_lsh_params): one count job —
+        # cheap parquet-metadata count, same class as the IVF build
+        auto_bits, auto_tables = tune_lsh_params(src.count(), min_cosine)
+        n_bits = n_bits if n_bits is not None else auto_bits
+        n_tables = n_tables if n_tables is not None else auto_tables
     udf = make_multitable_bucket_udf(dim, n_tables, n_bits, seed)
     # pinned across the self-join so the hyperplane UDF runs once;
     # exploded BEFORE the pin → the cache holds (id, long) rows only

@@ -117,6 +117,55 @@ def test_lsh_multitable_recall(spark):
     assert recall >= 0.9, (recall, len(want), len(got))
 
 
+def test_lsh_auto_tuned_params_scale_and_hold_recall(spark):
+    """r6 sf-sweep finding: FIXED n_bits is Θ(n²/2^bits) candidate
+    work — 19× time at 10× rows measured. tune_lsh_params must (a)
+    grow bits with log2(n) so bucket occupancy stays constant, (b)
+    keep the 1−(1−p^r)^T recall bound ≥ 0.9 at the operating point,
+    and the auto-tuned operator must still clear measured recall 0.9
+    on clustered data."""
+    import math
+
+    from bisque_spark.operators.similarity import tune_lsh_params
+
+    p = 1.0 - math.acos(0.8) / math.pi
+    prev_bits = 0
+    for n in (1_000, 10_000, 100_000, 10_000_000, 1_000_000_000):
+        bits, tables = tune_lsh_params(n, 0.8)
+        assert bits >= prev_bits  # monotone in corpus size
+        prev_bits = bits
+        assert 1.0 - (1.0 - p**bits) ** tables >= 0.9 - 1e-9
+        # candidate work per row ∝ (n/2^bits)·tables must beat the
+        # fixed-width default (n/2^3)·12, by a growing margin; at huge
+        # n the recall bound caps bits (the LSH ρ-exponent) and the
+        # strictly-linear path is IVF/SemDeDup instead
+        work, fixed = (n / (1 << bits)) * tables, (n / 8) * 12
+        if n >= 10_000:
+            assert work < fixed
+        if n >= 1_000_000:
+            assert work < fixed / 20
+    # measured recall with auto params on the clustered corpus
+    rng = np.random.RandomState(23)
+    n_clusters, per, dim = 8, 12, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mat = np.concatenate(
+        [centers[c] + 0.08 * rng.normal(size=(per, dim))
+         for c in range(n_clusters)]
+    ).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = _exact_pairs(mat, 0.8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(
+            df, dim=16, min_cosine=0.8, n_bits=None, n_tables=None
+        ).collect()
+    }
+    assert not got - want
+    assert len(got & want) / len(want) >= 0.9
+
+
 def test_ivf_build_query_split(spark, vecs):
     """One build, many queries: ivf_query runs on the prebuilt index
     (no quantizer jobs on the query path) and matches the convenience
