@@ -381,7 +381,43 @@ def sitemap_refresh_plan(spark):
     return due_for_refresh(ann, 9, policy_table(spark), limit_per_host=5)
 
 
+def catalog_bucketed_plan(spark):
+    """Zero-exchange equi-join on CATALOG-MANAGED bucketed tables
+    (VERDICT r5 #6): both sides come out of the snapshot catalog via
+    read_bucketed — the bucket distribution survives the manifest
+    layer, so the SortMergeJoin plans without a shuffle on either
+    side."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bisque_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="explain_bktcat_"))
+    ddl = "url_hash long, score double"
+    for t in ("ebkt_a", "ebkt_b"):
+        cat.create_table(t, ddl, bucket_by=("url_hash", 8))
+        cat.append(
+            t,
+            spark.range(2000).select(
+                F.col("id").alias("url_hash"),
+                (F.col("id") % 7).cast("double").alias("score"),
+            ),
+        )
+    a = cat.read_bucketed("ebkt_a")
+    b = cat.read_bucketed("ebkt_b").select("url_hash")
+    return a.hint("merge").join(b, "url_hash")
+
+
 EXTRA_CHECKS = {
+    "catalog-bucketed co-located join": (
+        catalog_bucketed_plan,
+        [
+            ("SortMergeJoin", "bucketed join planned as SMJ"),
+            ("!Exchange hashpartitioning", "ZERO shuffle exchanges"),
+            ("!EvalPython", "pure JVM"),
+        ],
+    ),
     "image curation funnel (pre-sink)": (
         image_curation_plan,
         [
