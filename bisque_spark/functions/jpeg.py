@@ -15,9 +15,11 @@ Scope — deliberately the baseline profile only:
   progressive (SOF2) with spectral selection incl. general EOBRUN,
   successive approximation (DC and AC refinement passes, T.81
   G.1.2.2/G.1.2.3) AND chroma subsampling up to 2×2 — together the
-  dominant real-web progressive layout (4:2:0 + SA). Arithmetic,
-  12-bit and >2× sampling raise NotImplementedError — callers route
-  that to an error column (multimodal.py contract).
+  dominant real-web progressive layout (4:2:0 + SA) — AND Adobe
+  APP14 CMYK/YCCK 4-component files (Photoshop exports, inverted-ink
+  convention) plus bare non-Adobe CMYK, composited to RGB.
+  Arithmetic, 12-bit and >2× sampling raise NotImplementedError —
+  callers route that to an error column (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -463,6 +465,114 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray,
+    quality: int = 90,
+    transform: int = 2,
+    adobe: bool = True,
+) -> bytes:
+    """H×W×4 uint8 CMYK (actual ink coverage, 0 = no ink) → 4-component
+    JPEG bytes — the Photoshop-export class (VERDICT r5 #5).
+
+    ``transform=2`` writes YCCK (inverted CMY run through the RGB→YCbCr
+    matrix, K passthrough — libjpeg jccolor.c cmyk_ycck_convert);
+    ``transform=0`` writes the four ink planes directly. With
+    ``adobe=True`` (the real-web layout) samples are stored INVERTED
+    and an Adobe APP14 tag carries the transform; ``adobe=False`` (only
+    with transform 0) writes plain non-inverted CMYK with no APP14 —
+    the rarer bare-CMYK layout. 4:4:4, single interleaved scan."""
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    if not adobe and transform != 0:
+        raise ValueError("YCCK requires the Adobe APP14 tag")
+    cmyk = np.asarray(cmyk)
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("expected H×W×4 CMYK")
+    h, w = cmyk.shape[:2]
+    px = cmyk.astype(np.float64)
+    stored = (255.0 - px) if adobe else px
+    if transform == 2:
+        # encoder feeds 255−stored (= actual ink) into the YCbCr matrix
+        r, g, b = (255.0 - stored[..., i] for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr, stored[..., 3]]
+        tsel = [0, 1, 1, 0]  # Y and K on luma tables, Cb/Cr on chroma
+    else:
+        planes = [stored[..., i] for i in range(4)]
+        tsel = [0, 0, 0, 0]
+    qts = [_quality_scale(_QT_LUMA, quality),
+           _quality_scale(_QT_CHROMA, quality)]
+    bh_, bw_ = -(-h // 8), -(-w // 8)
+    quantized = []
+    for ci, plane in enumerate(planes):
+        qt = qts[tsel[ci]].reshape(8, 8)
+        blocks, _, _ = _blockify(_pad_to(plane, bh_ * 8, bw_ * 8) - 128.0)
+        coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
+        quantized.append(
+            np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        )
+
+    def as_list(d, size):
+        out = [(0, 0)] * size
+        for sym, cl in d.items():
+            out[sym] = cl
+        return out
+
+    dc_tabs = [as_list(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS), 16),
+               as_list(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS), 16)]
+    ac_tabs = [as_list(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS), 256),
+               as_list(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS), 256)]
+    bw = _SymbolSink()
+    prev = [0, 0, 0, 0]
+    for m in range(bh_ * bw_):
+        for ci in range(4):
+            t = tsel[ci]
+            prev[ci] = _encode_block(
+                bw, quantized[ci][m], dc_tabs[t], ac_tabs[t], prev[ci]
+            )
+    out = bytearray(b"\xff\xd8")
+    if adobe:
+        out += _seg(
+            0xEE,
+            b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]),
+        )
+    for ti, qt in enumerate(qts):
+        out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([4])
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, tsel[ci]])
+    out += _seg(0xC0, sof)
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([4])
+    for ci in range(4):
+        t = tsel[ci]
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.pack()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def cmyk_to_rgb(cmyk: np.ndarray) -> np.ndarray:
+    """Reference composite for tests: actual-ink CMYK → RGB,
+    R = (255−C)(255−K)/255 (the standard uncalibrated composite)."""
+    px = np.asarray(cmyk, dtype=np.float64)
+    k = 255.0 - px[..., 3]
+    rgb = np.stack(
+        [(255.0 - px[..., i]) * k for i in range(3)], axis=-1
+    ) / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 _LUT_CACHE: dict = {}
 
 
@@ -489,8 +599,60 @@ def _huff_lut(bits, vals):
     return out
 
 
+def _ycc_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return (
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    )
+
+
+def _color_convert(planes: list, adobe_transform: int | None) -> np.ndarray:
+    """Decoded sample planes (already +128 level-shifted) → H×W×3
+    uint8 RGB.
+
+    3 components: YCbCr (default / Adobe transform 1), or direct RGB
+    when an Adobe APP14 declares transform 0.
+
+    4 components (Adobe APP14 CMYK/YCCK — the dominant Photoshop
+    export class, VERDICT r5 #5): Adobe files store INVERTED ink
+    values; the codec mirrors libjpeg's symmetric convention
+    (jccolor.c cmyk_ycck_convert / jdcolor.c ycck_cmyk_convert use
+    MAXJSAMPLE−x on both sides), under which the RGB composite of an
+    Adobe file collapses to R = C_s·K_s/255 on the STORED samples.
+    YCCK (transform 2) first maps YCC back through the YCbCr matrix.
+    Four-component files WITHOUT an Adobe marker are read as plain
+    non-inverted CMYK: R = (255−C)(255−K)/255."""
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    if len(planes) == 3:
+        if adobe_transform == 0:  # Adobe transform 0 on 3 comps: RGB
+            rgb = np.stack(planes, axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        rgb = np.stack(_ycc_to_rgb(*planes), axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if len(planes) != 4:
+        raise NotImplementedError(f"{len(planes)}-component color space")
+    if adobe_transform == 2:  # YCCK → stored (inverted) CMY
+        r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
+        cs = 255.0 - np.clip(r, 0, 255)
+        ms = 255.0 - np.clip(g, 0, 255)
+        ys = 255.0 - np.clip(b, 0, 255)
+    else:
+        cs, ms, ys = (np.clip(p, 0, 255) for p in planes[:3])
+    ks = np.clip(planes[3], 0, 255)
+    if adobe_transform is None:  # no Adobe marker: plain CMYK
+        cs, ms, ys, ks = (255.0 - x for x in (cs, ms, ys, ks))
+    rgb = np.stack([cs * ks, ms * ks, ys * ks], axis=-1) / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → H×W×3 uint8 RGB (grayscale replicated).
+    """Baseline JFIF bytes → H×W×3 uint8 RGB (grayscale replicated;
+    Adobe APP14 CMYK/YCCK composited — see :func:`_color_convert`).
     Raises NotImplementedError for non-baseline profiles."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -504,6 +666,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     progressive = False
     prog_scans = []
     seq_scans = []
+    adobe_transform = None
     i = 2
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -569,6 +732,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"non-baseline frame SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xEE:  # APP14 (Adobe color-transform tag)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS")
@@ -617,7 +783,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if progressive:
         if frame is None or not prog_scans:
             raise ValueError("missing SOF2/scan data")
-        return _decode_progressive(frame, prog_scans, qt, dc_tabs, ac_tabs)
+        return _decode_progressive(
+            frame, prog_scans, qt, dc_tabs, ac_tabs, adobe_transform
+        )
     if frame is None or not seq_scans:
         raise ValueError("missing SOF/SOS/entropy data")
     if len(seq_scans) > 1 or len(seq_scans[0][0]) != len(frame[2]):
@@ -625,7 +793,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # the general path (its coverage check rejects partial files —
         # the hot loop below would decode them silently wrong)
         return _decode_multiscan_sequential(
-            frame, seq_scans, qt, dc_tabs, ac_tabs
+            frame, seq_scans, qt, dc_tabs, ac_tabs, adobe_transform
         )
     scan, entropy, dri = seq_scans[0]
 
@@ -772,17 +940,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:fh, :fw] + 128.0)
 
-    if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
-        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _color_convert(planes, adobe_transform)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -1126,7 +1284,8 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
-def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
+def _decode_progressive(frame, scans, qt, dc_luts, ac_luts,
+                        adobe_transform=None):
     """Progressive reconstruction: apply each scan's coefficients into
     per-component zigzag arrays, then the shared dequant + IDCT +
     upsample + color path. Handles spectral selection, successive
@@ -1300,7 +1459,8 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts):
                             k += 1
                         eobrun -= 1
 
-    return _reconstruct(frame, coefs, qt, geom, hmax, vmax)
+    return _reconstruct(frame, coefs, qt, geom, hmax, vmax,
+                        adobe_transform)
 
 
 def _frame_geom(frame):
@@ -1333,7 +1493,8 @@ def _ni_positions(geom, cid):
             yield base + col
 
 
-def _reconstruct(frame, coefs, qt, geom, hmax, vmax):
+def _reconstruct(frame, coefs, qt, geom, hmax, vmax,
+                 adobe_transform=None):
     """Shared tail: dequant + IDCT per component over the padded block
     grid, nearest-neighbor chroma upsample, crop, color-convert."""
     fh, fw, comps = frame
@@ -1354,24 +1515,11 @@ def _reconstruct(frame, coefs, qt, geom, hmax, vmax):
         if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:fh, :fw] + 128.0)
-    if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
-        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _color_convert(planes, adobe_transform)
 
 
-def _decode_multiscan_sequential(frame, scans, qt, dc_luts, ac_luts):
+def _decode_multiscan_sequential(frame, scans, qt, dc_luts, ac_luts,
+                                 adobe_transform=None):
     """Baseline-sequential file whose components arrive over SEVERAL
     scans (T.81 B.2.1): each scan carries complete (DC+AC) blocks for
     its component subset — interleaved subsets walk the MCU grid,
@@ -1470,4 +1618,5 @@ def _decode_multiscan_sequential(frame, scans, qt, dc_luts, ac_luts):
                     k += 1
     if covered != set(comp_info):
         raise ValueError("scans do not cover every frame component")
-    return _reconstruct(frame, coefs, qt, geom, hmax, vmax)
+    return _reconstruct(frame, coefs, qt, geom, hmax, vmax,
+                        adobe_transform)

@@ -483,3 +483,61 @@ def test_synth_world_plants_progressive_rows_too():
         assert psnr(px, dec) >= 40.0
     assert profiles["baseline"] >= 3 and profiles["progressive"] >= 3
     assert profiles["sa"] >= 1  # successive-approximation rows planted
+
+
+# ---- Adobe APP14 CMYK / YCCK (VERDICT r5 #5) ------------------------------
+
+
+def _cmyk_gradients(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    c = (xx * 255 / (w - 1)).astype(np.uint8)
+    m = (yy * 255 / (h - 1)).astype(np.uint8)
+    y = ((xx + yy) * 255 / (w + h - 2)).astype(np.uint8)
+    k = (np.sin(xx / 9.0) * 40 + 60).astype(np.uint8)
+    return np.stack([c, m, y, k], axis=-1)
+
+
+@pytest.mark.parametrize(
+    "transform,adobe", [(2, True), (0, True), (0, False)]
+)
+def test_cmyk_roundtrip_psnr(transform, adobe):
+    """YCCK (Photoshop default), Adobe inverted CMYK, and bare
+    non-Adobe CMYK all decode through the PSNR >= 40 dB gate against
+    the standard composite."""
+    from bisque_spark.functions.jpeg import cmyk_to_rgb, encode_jpeg_cmyk
+
+    cmyk = _cmyk_gradients()
+    data = encode_jpeg_cmyk(cmyk, quality=95, transform=transform, adobe=adobe)
+    got = decode_jpeg(data)
+    assert got.shape == (48, 64, 3)
+    assert psnr(cmyk_to_rgb(cmyk), got) >= 40.0
+
+
+def test_cmyk_solid_inks_exact():
+    """Solid ink patches hit their exact RGB composites (catches any
+    inversion-convention mixup, which a PSNR gate could smear over)."""
+    from bisque_spark.functions.jpeg import cmyk_to_rgb, encode_jpeg_cmyk
+
+    patches = {
+        "white": (0, 0, 0, 0),
+        "black": (0, 0, 0, 255),
+        "cyan": (255, 0, 0, 0),
+        "red": (0, 255, 255, 0),
+    }
+    for name, ink in patches.items():
+        img = np.full((16, 16, 4), ink, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_cmyk(img, quality=98, transform=2))
+        want = cmyk_to_rgb(img)
+        assert np.array_equal(got[8, 8], want[8, 8]), name
+
+
+def test_cmyk_encoder_rejects_bad_args():
+    from bisque_spark.functions.jpeg import encode_jpeg_cmyk
+
+    img = np.zeros((8, 8, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(img, transform=1)
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(img, transform=2, adobe=False)
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(np.zeros((8, 8, 3), dtype=np.uint8))
