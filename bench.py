@@ -167,13 +167,27 @@ def bench_once() -> dict:
     # crawl-specific warm-up (fetch-UDF forks, broadcast machinery,
     # commit-path codegen) — the same session-warmed protocol the
     # --scaling legs use (_crawl_only); without it the first replicate
-    # absorbs a ~10 s constant and drags the median
+    # absorbs a ~10 s constant and drags the median.
+    # Crawl epochs are DRIVER/stage-latency bound at bench scale (r6
+    # measurement: ~12.6 core-seconds of genuine work per epoch = 0.4 s
+    # on 32 cores, vs ~4 s/epoch wall): run the crawl under the
+    # scaling legs' documented config — AQE off (its per-exchange
+    # replan barrier is pure serial driver time here; results are
+    # identical and tests pin both) and the v2 commit protocol.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set(
+        "spark.sql.adaptive.enabled", os.environ.get("BENCH_AQE", "false")
+    )
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2"
+    )
     run_crawl_bench(spark, world_spec=dict(n_hosts=4, n_seeds=4, pages_per_host=6))
     crawl_runs = []
     crawl_urls = 0
     for _ in range(REPLICATES):
         crawl_s, crawl_urls = run_crawl_bench(spark)
         crawl_runs.append(crawl_s)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     crawl_s = statistics.median(crawl_runs)
     timings["crawl_3epochs"] = round(crawl_s, 3)
     spreads["crawl_3epochs"] = [round(min(crawl_runs), 3), round(max(crawl_runs), 3)]

@@ -167,6 +167,59 @@ def image_features(images: DataFrame) -> DataFrame:
     )
 
 
+EXIF_SCHEMA = (
+    "image_id string, orientation int, make string, model string, "
+    "datetime_original string, has_exif boolean"
+)
+
+
+def image_exif_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-image EXIF provenance (functions/exif.py): orientation tag,
+    camera make/model, capture time. Marker-stream walk only — the
+    entropy payload is never decoded, so this costs parse-of-headers
+    per row, not a pixel pass. Non-JPEG / EXIF-less rows get NULLs
+    with has_exif = false (per-row honesty contract)."""
+    from bisque_spark.functions.exif import extract_exif
+
+    for pdf in batches:
+        out = {
+            "image_id": [], "orientation": [], "make": [], "model": [],
+            "datetime_original": [], "has_exif": [],
+        }
+        for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+            try:
+                d = extract_exif(bytes(data)) if data is not None else {}
+            except Exception:  # noqa: BLE001 — hostile bytes never kill a task
+                d = {}
+            out["image_id"].append(image_id)
+            out["orientation"].append(d.get("orientation"))
+            out["make"].append(d.get("make"))
+            out["model"].append(d.get("model"))
+            out["datetime_original"].append(d.get("datetime_original"))
+            out["has_exif"].append(bool(d))
+        yield pd.DataFrame(out)
+
+
+def image_exif(images: DataFrame) -> DataFrame:
+    return images.select("image_id", "bytes").mapInPandas(
+        image_exif_batches, schema=EXIF_SCHEMA
+    )
+
+
+def oriented_pixels(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Viewer-space pixels: apply the EXIF orientation before any
+    pixel-space feature (phash/thumbnail/embedding) — without this,
+    tag-274 rotated phone photos hash differently from their upright
+    re-encodes. Exposed separately (not auto-applied inside the
+    existing feature operators) so committed phash oracles stay
+    stable; curation plans opt in."""
+    from bisque_spark.functions.exif import apply_orientation
+
+    return apply_orientation(arr, orientation or 1)
+
+
 def make_thumbnail_batches(target: int = 8):
     def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

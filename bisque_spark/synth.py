@@ -181,6 +181,29 @@ def synth_image(image_id: str) -> dict:
             )
         else:
             data = encode_jpeg(arr, quality=98)
+        if rng.u01() < 1 / 3:
+            # a third of jpeg rows carry an EXIF APP1 (real-web phone
+            # photos do): orientation + provenance flow through the
+            # crawl/feature pipeline, not just unit tests. APP1 does
+            # not disturb pixel decode (tests pin this), so phash and
+            # the PSNR gate are unchanged.
+            from bisque_spark.functions.exif import build_exif_app1
+            from bisque_spark.functions.jpeg import _seg
+
+            app1 = _seg(
+                0xE1,
+                build_exif_app1(
+                    orientation=rng.randint(1, 8),
+                    make=f"synthcam{rng.randint(0, 4)}",
+                    model=f"m{rng.randint(0, 9)}",
+                    datetime_original=(
+                        f"2026:08:{rng.randint(1, 28):02d} "
+                        f"{rng.randint(0, 23):02d}:00:00"
+                    ),
+                    big_endian=rng.u01() < 0.5,
+                ),
+            )
+            data = data[:2] + app1 + data[2:]
     return {
         "bytes": data,
         "w": w,

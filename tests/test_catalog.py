@@ -460,6 +460,7 @@ def test_read_as_of_timestamp(spark, cat):
         cat.read("tt", version=1, as_of=t_mid)
 
 
+@pytest.mark.slow
 def test_catalog_model_based_random_op_sequences(spark, tmp_path):
     """Stateful model check: random append/merge/compact/expire
     sequences applied to BOTH the ParquetCatalog and a pure-Python

@@ -66,6 +66,7 @@ def test_images_match_oracle(spark, spark_result, oracle_result):
         assert got[k] == want[k], k
 
 
+@pytest.mark.slow
 def test_resume_bit_identity(spark, tmp_path_factory, spark_result):
     """Stop after 2 epochs ("kill"), resume, compare every output table."""
     wd = str(tmp_path_factory.mktemp("crawl_resume"))
@@ -95,6 +96,7 @@ def test_lineage_written(spark_result):
     assert os.path.exists(os.path.join(d, "_COMMIT"))
 
 
+@pytest.mark.slow
 def test_resume_after_partial_epoch_crash(spark, tmp_path_factory, spark_result):
     """Crash mid-commit: an epoch directory with data files but no
     _COMMIT marker must be redone on resume, bit-identically."""
@@ -146,6 +148,7 @@ def test_lineage_counters_consistent(spark, spark_result):
         prev_version = lin["bloom_version"]
 
 
+@pytest.mark.slow
 def test_compaction_equivalence(spark, tmp_path_factory, spark_result):
     """compact_every=2 (bases written mid-crawl) produces the same
     order log and seen set as the uncompacted run, and resume across a

@@ -9,6 +9,8 @@ test_linkrank.py), so order equality here pins the scheduling
 integration itself, bit-exact floats included.
 """
 
+import pytest
+
 from bisque_spark.operators.linkrank import authority_from_crawl
 from bisque_spark.plans.crawl import read_links, read_order, run_crawl
 from bisque_spark.synth import World, seed_urls
@@ -29,6 +31,7 @@ def _order_tuples(spark, res):
     )
 
 
+@pytest.mark.slow
 def test_authority_weighted_crawl_matches_oracle(spark, tmp_path_factory):
     # crawl 1 (unweighted) — its committed link graph is the rank input
     wd1 = str(tmp_path_factory.mktemp("crawl_auth_base"))

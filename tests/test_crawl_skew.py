@@ -2,6 +2,8 @@
 the salted two-phase politeness rank must still reproduce the oracle
 exactly while no single task sees the hot host's whole queue."""
 
+import pytest
+
 from bisque_spark.plans.crawl import read_order, read_seen, run_crawl
 from bisque_spark.synth import World, seed_urls
 from oracle_crawler import crawl_oracle
@@ -10,6 +12,7 @@ from oracle_crawler import crawl_oracle
 WORLD = World(n_hosts=10, n_seeds=16, zipf_power=8.0, links_per_page=8)
 
 
+@pytest.mark.slow
 def test_skewed_crawl_matches_oracle(spark, tmp_path):
     oracle = crawl_oracle(WORLD, seed_urls(WORLD), max_epochs=3)
     res = run_crawl(

@@ -1,6 +1,8 @@
 """plans/curate.py: the end-to-end curation composition — monotone
 stage counts, determinism, PII actually scrubbed, idempotent sink."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from bisque_spark.plans.curate import run_curation
@@ -13,6 +15,7 @@ def _tables(spark):
     return docs, embs
 
 
+@pytest.mark.slow
 def test_curation_pipeline_end_to_end(spark, tmp_path):
     docs, embs = _tables(spark)
     wd = str(tmp_path / "cat")
@@ -52,6 +55,7 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert counts2["catalog_version"] == 2  # a new snapshot, same rows
 
 
+@pytest.mark.slow
 def test_curation_with_line_dedup_stage(spark, tmp_path):
     """dedup_lines=True strips cross-document boilerplate BEFORE the
     quality gate: the funnel stays monotone and exactly one surviving
@@ -82,6 +86,7 @@ def test_curation_with_line_dedup_stage(spark, tmp_path):
     assert n_boiler <= 1  # at most the first-occurrence doc keeps it
 
 
+@pytest.mark.slow
 def test_curation_duplicate_embedding_rows_never_duplicate_docs(
     spark, tmp_path
 ):
@@ -101,6 +106,7 @@ def test_curation_duplicate_embedding_rows_never_duplicate_docs(
     )
 
 
+@pytest.mark.slow
 def test_curation_with_semantic_dedup_stage(spark, tmp_path):
     """semantic_tau drops docs whose EMBEDDINGS nearly coincide even
     when their text is distinct: plant an exact embedding duplicate
@@ -151,6 +157,7 @@ def test_curation_with_semantic_dedup_stage(spark, tmp_path):
     assert counts["after_semantic_embedded"] == len(out_off & emb_ids) - 1
 
 
+@pytest.mark.slow
 def test_curation_with_span_dedup_stage(spark, tmp_path):
     """dedup_span_k cuts a cross-document copied PASSAGE everywhere
     but its first occurrence before the gates run."""

@@ -104,6 +104,7 @@ def test_gate_attribution(spark, corpus, tmp_path):
     assert counts["final"] == counts["after_dedup"]
 
 
+@pytest.mark.slow
 def test_deterministic(spark, corpus, tmp_path):
     c1 = _run(spark, corpus, tmp_path / "a")
     c2 = _run(spark, corpus, tmp_path / "b")
@@ -112,6 +113,7 @@ def test_deterministic(spark, corpus, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_idempotent_sink(spark, corpus, tmp_path):
     from bisque_spark.sources.catalog import ParquetCatalog
 

@@ -215,6 +215,7 @@ def test_seed_locs_operator_same_host_and_totals(spark):
     assert any(not loc.lower().startswith(f"http://{h}/") for h, loc in want)
 
 
+@pytest.mark.slow
 def test_crawl_with_sitemaps_matches_oracle(spark, tmp_path):
     from bisque_spark.plans.crawl import read_order, run_crawl
     from oracle_crawler import crawl_oracle

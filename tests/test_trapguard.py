@@ -9,6 +9,8 @@ with the guard enabled still matches the oracle crawler applying the
 same twin, with every planted trap URL absent from order AND seen.
 """
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -97,6 +99,7 @@ def _urls(draw):
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_urls(), min_size=1, max_size=25, unique=True))
+@pytest.mark.slow
 def test_trap_reason_hypothesis_differential(spark, urls):
     got = _spark_reasons(spark, urls, TIGHT)
     for u in urls:
@@ -125,6 +128,7 @@ def _nasty_canonical(draw):
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_nasty_canonical(), min_size=1, max_size=25, unique=True))
+@pytest.mark.slow
 def test_trap_reason_nasty_canonical_differential(spark, urls):
     got = _spark_reasons(spark, urls, TIGHT)
     for u in urls:
@@ -153,6 +157,7 @@ def test_filter_traps_plan_is_codegen(spark):
     assert kept.count() == 1 and rejected.count() == 0
 
 
+@pytest.mark.slow
 def test_guarded_crawl_matches_oracle(spark, tmp_path):
     world = World(n_hosts=8, n_seeds=10)
     h0 = world.host(0)
