@@ -127,6 +127,26 @@ def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
     return dt, urls
 
 
+def _cpu_probe() -> float:
+    """Single-core C-level throughput probe (M ops/s, best of 3).
+
+    loadavg can't see hypervisor throttling: r6 measured this box's
+    capacity swinging ~1.25x within ten minutes while loadavg read
+    idle, and the swing shows up one-for-one in wall times. Recording
+    the probe at bench start AND end makes every artifact
+    self-calibrating — a slow draw is distinguishable from a slow
+    engine, and a mid-run throttle surfaces as start/end divergence.
+    Healthy reading on this VM: ~50 M ops/s."""
+    n = 30_000_000
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sum(range(n))
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(n / best / 1e6, 1)
+
+
 def bench_once() -> dict:
     from bisque_spark.session import get_spark
 
@@ -154,6 +174,7 @@ def bench_once() -> dict:
             f"{waited_s}s — bench numbers will be unreliable",
             flush=True,
         )
+    probe_start = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -209,6 +230,10 @@ def bench_once() -> dict:
         "cpus": cpus,
         "loadavg": loadavg,
         "idle_wait_s": waited_s,
+        # [start, end] single-core M ops/s; ~50 is this VM healthy.
+        # end << start ⇒ the host throttled mid-run and the slow
+        # entries are environment, not engine.
+        "cpu_probe_mops": [probe_start, _cpu_probe()],
     }
 
 
@@ -553,6 +578,7 @@ def scaling() -> None:
     """
     lo, hi = SCALING_N
     factor = hi / lo
+    probe_start = _cpu_probe()
     fx_lo = _run_sub("--fx-only", lo)
     fx_hi = _run_sub("--fx-only", hi)
     cr_lo = _run_sub("--crawl-only", lo)
@@ -572,6 +598,7 @@ def scaling() -> None:
         "image_curation": {f"local{lo}": im_lo, f"local{hi}": im_hi,
                            "efficiency": im_eff},
         "target": 0.8,
+        "cpu_probe_mops": [probe_start, _cpu_probe()],
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)

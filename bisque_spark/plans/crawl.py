@@ -327,16 +327,14 @@ def run_crawl(
             seeded, _ = filter_traps(seeded, trap_guard)
         seeded = apply_robots(seeded, robots)
         seed_path = os.path.join(workdir, "frontier_seed")
-        # seed frontiers are tiny relative to the cluster (rows, not
-        # the 10^10 steady state): repartition the write down like the
-        # junction's state slices — NOT coalesce, which would propagate
-        # backward and squeeze the robots fetch + canonicalize UDF to a
-        # handful of tasks (measured 2x slower); the explicit exchange
-        # keeps upstream parallel and writes a handful of files
-        seed_small = max(4, spark.sparkContext.defaultParallelism // 8)
-        _write(
-            seeded.select(*FRONTIER_COLS).repartition(seed_small), seed_path
-        )
+        # the seed write keeps its natural parallelism: it happens ONCE
+        # per crawl (not per epoch), so its file count is not a
+        # small-file concern, and both alternatives measured worse —
+        # coalesce(small) propagates backward and squeezes the robots
+        # fetch + canonicalize UDF to a handful of tasks (2x slower),
+        # repartition(small) adds an exchange to the pre-loop critical
+        # path (r6 A/B)
+        _write(seeded.select(*FRONTIER_COLS), seed_path)
         if use_sitemaps:
             # the seed write is the terminal action over the pinned
             # sitemap doc table (util.pin contract) — release it so the
