@@ -608,25 +608,130 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stage: the Spark plumbing (schema, batch
-    shape) with the decoder stubbed — no video codec ships in the
-    sandbox, so every row reports codec_unavailable (by design)."""
+def synth_video(media_id: str) -> dict:
+    """Deterministic short AVI clip derived from the id: a moving
+    gradient plus a drifting bright square (nonzero inter-frame
+    motion, so the sampled-frame motion signal is a real measurement).
+    Codec alternates MJPG / DIB by seed to exercise both decode
+    paths."""
+    from bisque_spark.functions.avi import encode_avi
+    from bisque_spark.hashing import xxh64
+
+    seed = xxh64(("video:" + media_id).encode()) % (2**32)
+    rng = np.random.RandomState(seed)
+    w = 16 + 2 * int(rng.randint(0, 9))  # 16-32, even
+    h = 16 + 2 * int(rng.randint(0, 9))
+    n_frames = 6 + int(rng.randint(0, 7))  # 6-12
+    fps = float(rng.choice([5.0, 10.0, 15.0, 24.0, 30.0]))
+    codec = "MJPG" if seed % 3 else "DIB "
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n_frames):
+        r = ((xx * 7 + t * 11) % 256).astype(np.uint8)
+        g = ((yy * 5 + t * 17) % 256).astype(np.uint8)
+        b = ((xx + yy + t * 29) % 256).astype(np.uint8)
+        fr = np.stack([r, g, b], axis=-1)
+        # drifting 4x4 bright square
+        sx = (seed % max(w - 4, 1) + t * 3) % max(w - 4, 1)
+        sy = (seed // 7 % max(h - 4, 1) + t * 2) % max(h - 4, 1)
+        fr[sy : sy + 4, sx : sx + 4] = 255
+        frames.append(fr)
+    return {
+        "bytes": encode_avi(frames, fps=fps, codec=codec, quality=90),
+        "fmt": "avi",
+        "n_frames": n_frames,
+        "w": w,
+        "h": h,
+    }
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id string, fmt string, codec string, w int, h int, fps double, "
+    "n_frames int, sampled_idx array<int>, frames array<binary>, "
+    "motion double, error string"
+)
+
+
+def video_frame_sample_batches(
+    every_n: int,
+) -> "callable":
+    """Batch fn factory (lazy, session-safe — CLAUDE.md pandas_udf
+    rule). Decodes ONLY the sampled frame indices (the codec work
+    scales with the sample, not the clip) and emits each sampled frame
+    re-encoded as codec-free PPM so downstream image operators
+    (image_features, phash) consume them directly. ``motion`` = mean
+    absolute luma delta between consecutive sampled frames — the
+    cheap curation signal for static-clip filtering."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frames": [None] * len(pdf),
-                    "error": [
-                        f"codec_unavailable:{fmt}" for fmt in pdf["fmt"]
-                    ],
-                }
-            )
+        from bisque_spark.functions.avi import decode_frame, parse_avi
 
+        for pdf in batches:
+            out = {
+                "media_id": [], "fmt": [], "codec": [], "w": [], "h": [],
+                "fps": [], "n_frames": [], "sampled_idx": [], "frames": [],
+                "motion": [], "error": [],
+            }
+            for media_id, data, fmt in zip(
+                pdf["media_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                codec = w = h = fps = n_frames = None
+                idx = frames = motion = err = None
+                try:
+                    if fmt != "avi":
+                        raise NotImplementedError(fmt)
+                    meta = parse_avi(bytes(data))
+                    idx = list(range(0, meta["n_frames"], every_n))
+                    decoded = [decode_frame(meta, i) for i in idx]
+                    codec, w, h = meta["codec"], meta["w"], meta["h"]
+                    fps, n_frames = meta["fps"], meta["n_frames"]
+                    frames = [encode_ppm(fr) for fr in decoded]
+                    if len(decoded) > 1:
+                        lumas = [
+                            fr.astype(np.float64).mean(axis=-1)
+                            for fr in decoded
+                        ]
+                        motion = float(
+                            np.mean(
+                                [
+                                    np.abs(b - a).mean()
+                                    for a, b in zip(lumas, lumas[1:])
+                                ]
+                            )
+                        )
+                    else:
+                        motion = 0.0
+                except NotImplementedError as exc:
+                    err = f"codec_unavailable:{exc}"
+                    idx = frames = None
+                except Exception as exc:  # noqa: BLE001
+                    err = f"decode_error:{type(exc).__name__}"
+                    idx = frames = None
+                out["media_id"].append(media_id)
+                out["fmt"].append(fmt)
+                out["codec"].append(codec)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(n_frames)
+                out["sampled_idx"].append(idx)
+                out["frames"].append(frames)
+                out["motion"].append(motion)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling over opaque ``binary`` clips. Real decode
+    for AVI containers carrying MJPG (per-frame baseline JPEG, incl.
+    DHT-less camera streams — Annex K.3 defaults injected) or
+    uncompressed DIB frames; every other container/codec stays an
+    honest per-row ``codec_unavailable`` error (the r1-r5 stub
+    contract, now the exception rather than the rule)."""
     return media.select("media_id", "bytes", "fmt").mapInPandas(
-        run, schema="media_id string, frames array<binary>, error string"
+        video_frame_sample_batches(every_n), schema=VIDEO_FRAMES_SCHEMA
     )
 
 
