@@ -225,6 +225,10 @@ def decode_image(row_bytes: bytes, fmt: str) -> bytes:
         from bisque_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(row_bytes)).tobytes()
+    if fmt == "gif":
+        from bisque_spark.functions.gif import decode_gif
+
+        return decode_gif(bytes(row_bytes)).tobytes()
     raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
 
 
