@@ -17,9 +17,12 @@ Scope — deliberately the baseline profile only:
   G.1.2.2/G.1.2.3) AND chroma subsampling up to 2×2 — together the
   dominant real-web progressive layout (4:2:0 + SA) — AND Adobe
   APP14 CMYK/YCCK 4-component files (Photoshop exports, inverted-ink
-  convention) plus bare non-Adobe CMYK, composited to RGB.
-  Arithmetic, 12-bit and >2× sampling raise NotImplementedError —
-  callers route that to an error column (multimodal.py contract).
+  convention) plus bare non-Adobe CMYK, composited to RGB, AND (r6)
+  12-bit extended sequential (SOF1) / 12-bit progressive with Pq=1
+  16-bit quantization tables — 12-bit samples map linearly onto the
+  engine's 8-bit RGB contract. Arithmetic coding and >2× sampling
+  raise NotImplementedError — callers route that to an error column
+  (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81
 FDCT definition), fully vectorized over blocks with einsum; only the
@@ -278,6 +281,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     multi_scan: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """H×W×3 uint8 RGB (or H×W grayscale) → baseline JFIF bytes.
 
@@ -298,6 +302,12 @@ def encode_jpeg(
     form."""
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported precision {precision}")
+    # 12-bit: SOF1 extended sequential, samples in [0, 4095], Pq=1
+    # 16-bit quant tables scaled ×16 so quantized magnitudes (and the
+    # Annex K.3 Huffman ranges) match the 8-bit case
+    center = float(1 << (precision - 1))
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -308,8 +318,8 @@ def encode_jpeg(
     else:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         planes = [y, cb, cr]
         factors = {
             "420": [(2, 2), (1, 1), (1, 1)],
@@ -324,6 +334,8 @@ def encode_jpeg(
     qts = [_quality_scale(_QT_LUMA, quality)]
     if not gray:
         qts.append(_quality_scale(_QT_CHROMA, quality))
+    if precision == 12:
+        qts = [q * 16 for q in qts]
 
     # pad/downsample each plane to its MCU-aligned tile grid, then
     # vectorized FDCT + quantization
@@ -339,10 +351,16 @@ def encode_jpeg(
         else:
             plane = _pad_to(plane, bh_mcu * 8 * vi, bw_mcu * 8 * hi)
         qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
-        blocks, _, _ = _blockify(plane - 128.0)
+        blocks, _, _ = _blockify(plane - center)
         coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
         q = np.round(coefs / qt).astype(np.int32)
-        quantized.append(q.reshape(-1, 64)[:, _ZZ])
+        qz = q.reshape(-1, 64)[:, _ZZ]
+        if precision == 12 and np.abs(qz[:, 1:]).max(initial=0) >= 1024:
+            # the standard K.3 AC tables stop at SSSS=10; the ×16 table
+            # scaling keeps coefficients in range up to ~q90 — refuse
+            # rather than emit symbols the tables can't express
+            raise ValueError("quality too high for the 12-bit encoder")
+        quantized.append(qz)
 
     def as_list(d, size):  # symbol-indexed list beats dict in the hot loop
         out = [(0, 0)] * size
@@ -438,13 +456,24 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, qt in enumerate(qts):
-        out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            out += _seg(
+                0xDB, bytes([0x10 | ti]) + qt[_ZZ].astype(">u2").tobytes()
+            )
+        else:
+            out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    sof = (
+        bytes([precision])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+    )
     for ci in range(ncomp):
         hi, vi = factors[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
-    out += _seg(0xC0, sof)
+    # 12-bit must not claim baseline: SOF1 extended sequential
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
     specs = [
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -684,14 +713,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
-                if p + 65 > len(seg):
+                if p >= len(seg):
                     raise ValueError("truncated DQT")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tab = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if pq > 1:
+                    raise ValueError("bad DQT precision")
+                width = 65 if pq == 0 else 129
+                if p + width > len(seg):
+                    raise ValueError("truncated DQT")
+                if pq == 0:
+                    tab = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                else:  # Pq=1: 16-bit entries (12-bit-sample files)
+                    tab = np.frombuffer(seg[p + 1 : p + 129], dtype=">u2")
                 qt[tq] = tab.astype(np.int32)[_UNZZ].reshape(8, 8)
-                p += 65
+                p += width
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -705,13 +740,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — SOF1 decodes exactly like SOF0 (it only
+            # relaxes table counts and allows 12-bit samples, T.81
+            # table B.2)
             progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("truncated SOF")
             prec = seg[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 must be 8-bit")
             fh = int.from_bytes(seg[1:3], "big")
             fw = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -726,8 +767,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} (beyond 4:2:0)"
                     )
                 comps.append((cid, tq, hi, vi))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (fh, fw, comps, prec)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
@@ -797,7 +838,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         )
     scan, entropy, dri = seq_scans[0]
 
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     for cid, td, ta in scan:
         if cid not in comp_info:
@@ -836,6 +877,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ent = entropy[0]
     limit = len(ent)
     pos = acc = n = pad = 0
+    # refill floors: huffman code (≤16 bits) + value bits (DC ≤ prec-1
+    # +4=11/15, AC ≤ 10/14 per T.81 F.1.2.1.1 for 8-/12-bit samples)
+    need_dc = 27 if prec == 8 else 31
+    need_ac = 26 if prec == 8 else 30
     for m in range(n_mcu):
         if dri and m and m % dri == 0:
             # restart: byte-aligned next segment, DC predictors reset
@@ -853,7 +898,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             out = coef_lists[cid]
             dsym, dlen = dc_tabs[td]
             asym, alen = ac_tabs[ta]
-            while n < 27:
+            while n < need_dc:
                 if pos < limit:
                     acc = (acc << 8) | ent[pos]
                     pos += 1
@@ -879,7 +924,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             out[base] = prev[cid]
             k = 1
             while k < 64:
-                while n < 26:
+                while n < need_ac:
                     if pos < limit:
                         acc = (acc << 8) | ent[pos]
                         pos += 1
@@ -938,7 +983,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         fy, fx = vmax // vi, hmax // hi
         if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
-        planes.append(plane[:fh, :fw] + 128.0)
+        plane = plane[:fh, :fw] + float(1 << (prec - 1))
+        if prec == 12:
+            # the engine's pixel contract is 8-bit RGB: 12-bit samples
+            # map linearly onto [0,255] (documented downscale)
+            plane *= 255.0 / 4095.0
+        planes.append(plane)
 
     return _color_convert(planes, adobe_transform)
 
@@ -1019,6 +1069,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     successive: bool = False,
     subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """H×W×3 RGB (or grayscale) → progressive (SOF2) JFIF bytes,
     spectral selection: one interleaved DC scan, then per-component AC
@@ -1034,6 +1085,9 @@ def encode_jpeg_progressive(
     and subsampling ⇒ identical decoded pixels for every layout."""
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported precision {precision}")
+    center = float(1 << (precision - 1))
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -1045,8 +1099,8 @@ def encode_jpeg_progressive(
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+            0.5 * r - 0.418688 * g - 0.081312 * b + center,
         ]
         factors = {
             "420": [(2, 2), (1, 1), (1, 1)],
@@ -1060,6 +1114,8 @@ def encode_jpeg_progressive(
     qts = [_quality_scale(_QT_LUMA, quality)]
     if not gray:
         qts.append(_quality_scale(_QT_CHROMA, quality))
+    if precision == 12:
+        qts = [q * 16 for q in qts]
     # pad/downsample each plane to its MCU-aligned tile grid, then
     # vectorized FDCT + quantization (same prep as the baseline
     # encoder — identical quantized coefficients by construction)
@@ -1074,11 +1130,12 @@ def encode_jpeg_progressive(
         else:
             plane = _pad_to(plane, mcuy * 8 * vi, mcux * 8 * hi)
         qt = qts[min(ci, len(qts) - 1)].reshape(8, 8)
-        blocks, _, _ = _blockify(plane - 128.0)
+        blocks, _, _ = _blockify(plane - center)
         coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
-        quantized.append(
-            np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
-        )
+        qz = np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        if precision == 12 and np.abs(qz[:, 1:]).max(initial=0) >= 1024:
+            raise ValueError("quality too high for the 12-bit encoder")
+        quantized.append(qz)
 
     def as_list(d, size):
         out = [(0, 0)] * size
@@ -1099,8 +1156,18 @@ def encode_jpeg_progressive(
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, qt in enumerate(qts):
-        out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            out += _seg(
+                0xDB, bytes([0x10 | ti]) + qt[_ZZ].astype(">u2").tobytes()
+            )
+        else:
+            out += _seg(0xDB, bytes([ti]) + bytes(qt[_ZZ].astype(np.uint8)))
+    sof = (
+        bytes([precision])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+    )
     for ci in range(ncomp):
         hi, vi = factors[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
@@ -1297,7 +1364,7 @@ def _decode_progressive(frame, scans, qt, dc_luts, ac_luts,
     scans listing one component) walk the component's OWN un-padded
     block grid (T.81 A.2.2), mapped into the MCU-padded storage.
     """
-    fh, fw, comps = frame
+    fh, fw, comps = frame[:3]
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     hmax, vmax, mcux, mcuy, geom = _frame_geom(frame)
     coefs = {
@@ -1467,7 +1534,7 @@ def _frame_geom(frame):
     """Frame → (hmax, vmax, mcux, mcuy, geom) with per-component
     geom[cid] = (pwb, phb, cwb, chb): MCU-padded block grid for
     storage, un-padded grid for non-interleaved scan order."""
-    fh, fw, comps = frame
+    fh, fw, comps = frame[:3]
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
     for _, _, hi, vi in comps:
@@ -1497,7 +1564,7 @@ def _reconstruct(frame, coefs, qt, geom, hmax, vmax,
                  adobe_transform=None):
     """Shared tail: dequant + IDCT per component over the padded block
     grid, nearest-neighbor chroma upsample, crop, color-convert."""
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
     planes = []
     for cid, tq, hi, vi in comps:
         if tq not in qt:
@@ -1514,7 +1581,11 @@ def _reconstruct(frame, coefs, qt, geom, hmax, vmax,
         fy, fx = vmax // vi, hmax // hi
         if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
-        planes.append(plane[:fh, :fw] + 128.0)
+        plane = plane[:fh, :fw] + float(1 << (prec - 1))
+        if prec == 12:
+            # 8-bit RGB contract: linear downscale (see decode_jpeg)
+            plane *= 255.0 / 4095.0
+        planes.append(plane)
     return _color_convert(planes, adobe_transform)
 
 
@@ -1528,7 +1599,7 @@ def _decode_multiscan_sequential(frame, scans, qt, dc_luts, ac_luts,
     (one data unit == one MCU in a non-interleaved scan, A.2.4). The
     single-scan common case keeps decode_jpeg's hand-inlined hot loop;
     this path trades speed for completeness on a rare legal layout."""
-    fh, fw, comps = frame
+    fh, fw, comps = frame[:3]
     comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     hmax, vmax, mcux, mcuy, geom = _frame_geom(frame)
     coefs = {

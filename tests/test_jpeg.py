@@ -79,9 +79,11 @@ def test_non_baseline_raises_not_implemented():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg(img, quality=90))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC1  # SOF1 (extended sequential): unsupported
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(bytes(data))
+    # SOF1 (extended sequential) decodes exactly like SOF0 since r6:
+    # an 8-bit stream relabeled SOF1 is legal and must be identical
+    base = decode_jpeg(bytes(data))
+    data[sof + 1] = 0xC1
+    assert (decode_jpeg(bytes(data)) == base).all()
     data[sof + 1] = 0xC9  # arithmetic coding: unsupported
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(data))
@@ -541,3 +543,82 @@ def test_cmyk_encoder_rejects_bad_args():
         encode_jpeg_cmyk(img, transform=2, adobe=False)
     with pytest.raises(ValueError):
         encode_jpeg_cmyk(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+# ---- 12-bit extended sequential / progressive (r6) -----------------------
+
+
+def _smooth12():
+    yy, xx = np.mgrid[0:40, 0:56]
+    y = np.clip(2048 + 1500 * np.sin(xx / 9.0) * np.cos(yy / 7.0), 0, 4095)
+    b = np.clip(2048 + 1200 * np.cos(xx / 8.0), 0, 4095)
+    return np.stack([y, 4095 - y, b], -1).astype(np.uint16)
+
+
+def _to8(img12):
+    return np.clip(
+        np.round(img12.astype(np.float64) * 255 / 4095), 0, 255
+    ).astype(np.uint8)
+
+
+def test_12bit_sequential_roundtrip_psnr():
+    from bisque_spark.functions.jpeg import psnr
+
+    rgb12 = _smooth12()
+    data = encode_jpeg(rgb12, quality=92, precision=12)
+    assert b"\xff\xc1" in data  # SOF1, never baseline SOF0
+    assert psnr(_to8(rgb12), decode_jpeg(data)) >= 40.0
+    gray = rgb12[..., 0]
+    out = decode_jpeg(encode_jpeg(gray, quality=92, precision=12))
+    assert psnr(_to8(gray), out[..., 0]) >= 40.0
+
+
+def test_12bit_every_layout_matches_sequential():
+    """Progressive (incl. successive approximation + 4:2:0),
+    multi-scan and DRI 12-bit files carry the same quantized
+    coefficients as the sequential form -> bit-identical pixels."""
+    from bisque_spark.functions.jpeg import encode_jpeg_progressive
+
+    rgb12 = _smooth12()
+    for ss in ("444", "420"):
+        base = decode_jpeg(
+            encode_jpeg(rgb12, quality=92, precision=12, subsampling=ss)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                rgb12, quality=92, precision=12, successive=True,
+                subsampling=ss,
+            )
+        )
+        assert (prog == base).all()
+    base = decode_jpeg(encode_jpeg(rgb12, quality=92, precision=12))
+    for kw in (dict(multi_scan=True), dict(restart_interval=3)):
+        alt = decode_jpeg(encode_jpeg(rgb12, quality=92, precision=12, **kw))
+        assert (alt == base).all()
+
+
+def test_12bit_guards():
+    rgb12 = _smooth12()
+    with pytest.raises(ValueError):
+        encode_jpeg(rgb12, precision=10)
+    # The x16 table scaling bounds worst-case quantized AC at exactly
+    # the SSSS=10 edge (max = 2048*sum|d_u|*sum|d_v|/16 = 1024.0003):
+    # only a basis-sign-aligned extremal image at quality 100 can
+    # cross it, and then the encoder must refuse, not corrupt.
+    from bisque_spark.functions.jpeg import _D
+
+    s = np.abs(_D).sum(axis=1)
+    u, v = max(
+        ((a, b) for a in range(8) for b in range(8) if (a, b) != (0, 0)),
+        key=lambda t: s[t[0]] * s[t[1]],
+    )
+    sign = np.sign(np.outer(_D[u], _D[v]))
+    extremal = np.tile(np.where(sign > 0, 4095, 0), (2, 2)).astype(np.uint16)
+    with pytest.raises(ValueError):
+        encode_jpeg(extremal, quality=100, precision=12)
+    # a 12-bit frame mislabeled baseline SOF0 is rejected
+    data = bytearray(encode_jpeg(rgb12, quality=92, precision=12))
+    at = bytes(data).find(b"\xff\xc1")
+    data[at + 1] = 0xC0
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
