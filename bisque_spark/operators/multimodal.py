@@ -6,8 +6,8 @@ resize / feature-extract run as Arrow-batched pandas UDFs over
 ``mapInPandas``; the Spark plumbing (schemas, batch shape,
 partitioning) is real and tested, while codec support is limited to
 the sandbox's formats ('raw', 'jpeg' via the pure-numpy baseline
-codec in functions/jpeg.py, 'png' via the pure-stdlib
-codec in synth.py). Other codecs raise NotImplementedError per row →
+codec in functions/jpeg.py, 'png' via the full real-web codec in
+functions/png.py). Other codecs raise NotImplementedError per row →
 captured in the ``error`` column, never a task failure (same row-level
 error containment as the fetch/extract stages).
 """

@@ -220,7 +220,11 @@ def decode_image(row_bytes: bytes, fmt: str) -> bytes:
     if fmt == "raw":
         return row_bytes
     if fmt == "png":
-        return decode_png(row_bytes)[0]
+        # full real-web decoder (all color types/depths/filters/Adam7)
+        # — a strict superset of the minimal layout encode_png emits
+        from bisque_spark.functions.png import decode_png as full_png
+
+        return full_png(bytes(row_bytes)).tobytes()
     if fmt == "jpeg":
         from bisque_spark.functions.jpeg import decode_jpeg
 
