@@ -127,6 +127,11 @@ def _decode(row_bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "bmp":
         arr, _, _ = decode_bmp(data)
         return arr
+    if fmt == "ico":
+        # favicon container: best entry's own dims, not the row's
+        from bisque_spark.functions.ico import decode_ico
+
+        return decode_ico(data)
     pixels = decode_image(data, fmt)
     return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
 
