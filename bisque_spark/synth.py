@@ -233,6 +233,10 @@ def decode_image(row_bytes: bytes, fmt: str) -> bytes:
         from bisque_spark.functions.gif import decode_gif
 
         return decode_gif(bytes(row_bytes)).tobytes()
+    if fmt == "tiff":
+        from bisque_spark.functions.tiff import decode_tiff
+
+        return decode_tiff(bytes(row_bytes)).tobytes()
     raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
 
 
