@@ -145,6 +145,11 @@ def extract_exif(jpeg_bytes: bytes) -> dict:
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             return {}
+        # 0xFF fill bytes between markers are legal padding (T.81 B.1.1.2)
+        while i + 4 <= len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(data):
+            return {}
         marker = data[i + 1]
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
@@ -153,7 +158,11 @@ def extract_exif(jpeg_bytes: bytes) -> dict:
         if ln < 2:
             return {}
         if marker == 0xE1:
-            return parse_exif_app1(data[i + 4 : i + 2 + ln])
+            payload = data[i + 4 : i + 2 + ln]
+            # Only the Exif APP1 counts — an XMP APP1 (common layout:
+            # XMP first) must not abort the walk (r6 ADVICE).
+            if payload[:6] == b"Exif\x00\x00":
+                return parse_exif_app1(payload)
         if marker == 0xDA:  # SOS: metadata section over
             return {}
         i += 2 + ln

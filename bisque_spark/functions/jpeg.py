@@ -360,6 +360,14 @@ def encode_jpeg(
             # scaling keeps coefficients in range up to ~q90 — refuse
             # rather than emit symbols the tables can't express
             raise ValueError("quality too high for the 12-bit encoder")
+        if precision == 12 and qz.size and (
+            int(qz[:, 0].max()) - int(qz[:, 0].min()) >= 2048
+            or int(np.abs(qz[:, 0]).max()) >= 2048
+        ):
+            # K.3 DC tables stop at SSSS=11 (|diff| < 2048); the range
+            # check covers every coding order, so no DC diff can need
+            # the missing SSSS=12 symbol (r6 ADVICE)
+            raise ValueError("quality too high for the 12-bit encoder")
         quantized.append(qz)
 
     def as_list(d, size):  # symbol-indexed list beats dict in the hot loop
@@ -1134,6 +1142,12 @@ def encode_jpeg_progressive(
         coefs = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
         qz = np.round(coefs / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         if precision == 12 and np.abs(qz[:, 1:]).max(initial=0) >= 1024:
+            raise ValueError("quality too high for the 12-bit encoder")
+        if precision == 12 and qz.size and (
+            int(qz[:, 0].max()) - int(qz[:, 0].min()) >= 2048
+            or int(np.abs(qz[:, 0]).max()) >= 2048
+        ):
+            # K.3 DC tables stop at SSSS=11 — see baseline encoder note
             raise ValueError("quality too high for the 12-bit encoder")
         quantized.append(qz)
 

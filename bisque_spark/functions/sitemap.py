@@ -136,12 +136,21 @@ def _numref_decode_col(c: F.Column) -> F.Column:
     return F.when(F.size(refs) == 0, c).otherwise(stitched)
 
 
+# Both sides of the determinism contract trim the SAME character set
+# (ASCII whitespace, Java-regex \s): F.trim strips only ' ' while
+# str.strip() strips all unicode whitespace, which diverged on
+# \t/\n-padded CDATA locs (r6 ADVICE).
+_WS_EDGE_RE = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def _unescape_col(c: F.Column) -> F.Column:
     inner = F.regexp_extract(c, _CDATA_RE, 1)
     decoded = _numref_decode_col(c)
     for ent, ch in _ENTITIES:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    return F.when(c.rlike(_CDATA_RE), F.trim(inner)).otherwise(decoded)
+    trimmed = F.regexp_replace(inner, _WS_EDGE_RE, "")
+    return F.when(c.rlike(_CDATA_RE), trimmed).otherwise(decoded)
 
 
 def _numref_py(m: re.Match) -> str:
@@ -155,7 +164,7 @@ def _numref_py(m: re.Match) -> str:
 def _unescape_py(s: str) -> str:
     m = re.match(_CDATA_RE, s)
     if m:
-        return m.group(1).strip()
+        return m.group(1).strip(_WS_CHARS)
     s = re.sub(_NUMREF_RE, _numref_py, s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)

@@ -226,6 +226,12 @@ def lzw_encode(data: bytes) -> bytes:
         run = bytes([byte])
     if run:
         put(table[run], width)
+        # the decoder appends an entry for this final code too, so the
+        # same early-change check applies before EOI — without it a
+        # spec decoder (libtiff) reads EOI one bit wider than we wrote
+        # when next_code lands exactly on the boundary (r6 ADVICE)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     put(_EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -408,7 +414,12 @@ def _grid_to_rgb(grid, ifd, photo, depth, spp) -> np.ndarray:
     rgb = scale8(grid[..., :3])
     if spp == 4:
         extra = _tag(ifd, 338, (2,))[0]
-        if extra in (1, 2):  # associated or unassociated alpha
+        if extra == 1:  # associated alpha: samples already premultiplied
+            a = grid[..., 3].astype(np.float64)[..., None] / maxv
+            rgb = np.clip(
+                np.rint(rgb + 255.0 * (1.0 - a)), 0, 255
+            ).astype(np.uint8)
+        elif extra == 2:  # unassociated alpha
             a = grid[..., 3].astype(np.float64)[..., None] / maxv
             rgb = np.clip(
                 np.rint(rgb * a + 255.0 * (1.0 - a)), 0, 255
@@ -429,6 +440,7 @@ def encode_tiff(
     bit_depth: int = 8,
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
+    extra_samples: int = 2,
 ) -> bytes:
     """Samples → single-IFD chunky TIFF exercising any decode layout.
 
@@ -500,7 +512,9 @@ def encode_tiff(
     if predictor == 2:
         add(317, 3, (2,))
     if spp == 4:
-        add(338, 3, (2,))
+        # 2 = unassociated, 1 = associated (caller supplies
+        # premultiplied samples), 0 = unspecified padding
+        add(338, 3, (extra_samples,))
     cmap_vals = None
     if photometric == 3:
         if palette is None:

@@ -130,3 +130,21 @@ def test_synth_world_plants_exif_rows():
         ).reshape(h, w, 3)
         assert psnr(want, got) >= 40.0
     assert tagged >= 5 and untagged >= 5
+
+
+def test_xmp_app1_before_exif_and_fill_bytes():
+    """Real-web layout: an XMP APP1 often PRECEDES the Exif APP1, and
+    0xFF fill bytes pad between markers (T.81 B.1.1.2) — neither may
+    abort the walk (r6 ADVICE)."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    j = encode_jpeg(img, 95)
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    exif = build_exif_app1(orientation=6, make="X")
+    # SOI, XMP APP1, fill bytes, Exif APP1, rest
+    crafted = (
+        j[:2] + _seg(0xE1, xmp) + b"\xff\xff\xff" + _seg(0xE1, exif) + j[2:]
+    )
+    got = extract_exif(crafted)
+    assert got["orientation"] == 6 and got["make"] == "X"
+    # XMP-only JPEG: no Exif fields, but no crash either
+    assert extract_exif(j[:2] + _seg(0xE1, xmp) + j[2:]) == {}

@@ -622,3 +622,20 @@ def test_12bit_guards():
     data[at + 1] = 0xC0
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_12bit_dc_diff_guard():
+    """Flat 0/4095 blocks at quality 100 produce a DC diff of 2048 —
+    SSSS=12, absent from the K.3 DC tables. The encoder must refuse,
+    not emit a zero-length code (r6 ADVICE jpeg.py:358)."""
+    gray = np.zeros((8, 16), dtype=np.uint16)
+    gray[:, 8:] = 4095
+    with pytest.raises(ValueError):
+        encode_jpeg(gray, quality=100, precision=12)
+    from bisque_spark.functions.jpeg import encode_jpeg_progressive
+
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive(gray, quality=100, precision=12)
+    # a merely-contrasty smooth image still encodes at the same quality
+    ok = _smooth12()
+    decode_jpeg(encode_jpeg(ok, quality=95, precision=12))

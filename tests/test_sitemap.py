@@ -91,6 +91,10 @@ _CRAFTED = [
     # CDATA wrapper: verbatim (no entity decode), trimmed
     ("<![CDATA[http://ex.test/x?a=1&b=2]]>", "http://ex.test/x?a=1&b=2"),
     ("<![CDATA[ http://ex.test/&amp;raw ]]>", "http://ex.test/&amp;raw"),
+    # CDATA padded with tab/newline: Column and twin must trim the
+    # SAME charset (r6 ADVICE — F.trim only strips spaces)
+    ("<![CDATA[\thttp://ex.test/tabbed\n]]>", "http://ex.test/tabbed"),
+    ("<![CDATA[ \n\t http://ex.test/mixed \t\n ]]>", "http://ex.test/mixed"),
     # digit-run caps: over-long refs pass through verbatim
     ("http://ex.test/&#999999999;", "http://ex.test/&#999999999;"),
 ]

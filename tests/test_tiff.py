@@ -335,3 +335,89 @@ def test_tiff_flows_through_image_features(spark):
         assert r["error"] is None
         assert abs(r["mean_r"] - im[..., 0].mean()) < 1e-9
         assert abs(r["mean_b"] - im[..., 2].mean()) < 1e-9
+
+
+# ---- r6 ADVICE regressions -------------------------------------------------
+
+
+def _lzw_decode_strict(enc: bytes) -> bytes:
+    """Independent SPEC decoder (TIFF 6.0 §13): applies the early
+    width change after EVERY table append — including the one for the
+    final data code — and requires a readable EOI at the bumped width.
+    Grades the encoder's output against libtiff behavior, unlike the
+    in-repo lzw_decode which stops at expected bytes."""
+    CLEAR, EOI = 256, 257
+    bits = 0
+    acc = 0
+    pos = 0
+
+    def get(width):
+        nonlocal bits, acc, pos
+        while bits < width:
+            if pos >= len(enc):
+                raise ValueError("truncated before EOI")
+            acc = (acc << 8) | enc[pos]
+            pos += 1
+            bits += 8
+        bits -= width
+        return (acc >> bits) & ((1 << width) - 1)
+
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev = None
+    while True:
+        code = get(width)
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def test_lzw_final_code_early_change_boundary():
+    """254 distinct bytes land next_code exactly on 511 at the final
+    data code: a spec decoder bumps to 10 bits before reading EOI, so
+    the encoder must too (r6 ADVICE tiff.py:227)."""
+    data = bytes(range(254))
+    assert _lzw_decode_strict(lzw_encode(data)) == data
+    # neighbors of the boundary + a repeat-heavy stream, same grader
+    for probe in (bytes(range(253)), bytes(range(255)), b"abcabcabc" * 200):
+        assert _lzw_decode_strict(lzw_encode(probe)) == probe
+    rnd = RNG.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    assert _lzw_decode_strict(lzw_encode(rnd)) == rnd
+
+
+def test_associated_alpha_not_double_multiplied():
+    """ExtraSamples=1 samples arrive premultiplied: compositing over
+    white is rgb + 255*(1-a), NOT rgb*a + 255*(1-a) (r6 ADVICE
+    tiff.py:411)."""
+    rgb = RNG.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    alpha = RNG.integers(1, 256, (6, 8), dtype=np.uint8)
+    a = alpha.astype(np.float64)[..., None] / 255.0
+    premul = np.rint(rgb * a).astype(np.uint8)
+    tif = encode_tiff(np.dstack([premul, alpha]), extra_samples=1)
+    got = decode_tiff(tif)
+    want = np.clip(np.rint(premul + 255.0 * (1.0 - a)), 0, 255).astype(
+        np.uint8
+    )
+    assert (got == want).all()
+    # fully-opaque associated == unassociated == plain RGB
+    opaque = np.dstack([rgb, np.full((6, 8), 255, np.uint8)])
+    assert (decode_tiff(encode_tiff(opaque, extra_samples=1)) == rgb).all()
+    assert (decode_tiff(encode_tiff(opaque, extra_samples=2)) == rgb).all()
