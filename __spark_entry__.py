@@ -609,7 +609,11 @@ def _q_image_features(spark, sf_dir):
     the driver grades only the first 50 queries, VERDICT r3 #2; the
     resize path keeps its own operator + pixel-level pytest oracle).
     Uses the FUSED image_pipeline stage: one decode per image feeds
-    both the features and the thumbnail (decode dominates at scale)."""
+    both the features and the thumbnail (decode dominates at scale).
+    orient=True (r7): EXIF tag-274 rows — a third of the synth jpegs
+    carry APP1 with orientations 1-8 — are featured in VIEWER space,
+    so the graded hash now pins the orientation transform end-to-end
+    (dims swap for 5-8, thumbnails are of the rotated pixels)."""
     from bisque_spark.operators.multimodal import image_pipeline
     from bisque_spark.operators.extract import materialize_images_batches
 
@@ -622,7 +626,7 @@ def _q_image_features(spark, sf_dir):
         schema="image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )
-    out = image_pipeline(images, thumb_target=8)
+    out = image_pipeline(images, thumb_target=8, orient=True)
     return out.select(
         "image_id", "w", "h", "fmt",
         F.round("mean_r", 4).alias("mean_r"),
@@ -1614,15 +1618,18 @@ def _audio_features_oracle_sql() -> str:
 def _image_features_oracle_sql() -> str:
     """Fixture oracle for _q_image_features: the 200 deterministic
     images are re-derived driver-side (synth_image bytes →
-    decode_image → channel means + linspace nearest-neighbor
-    thumbnail → md5), pre-rounded with the Spark round semantics.
-    The codec itself is pinned by test_jpeg's exactness oracles; this
+    decode_image → EXIF tag-274 orientation transform (r7: the query
+    runs image_pipeline(orient=True)) → channel means + linspace
+    nearest-neighbor thumbnail → md5), pre-rounded with the Spark
+    round semantics. The codec itself is pinned by test_jpeg's
+    exactness oracles and the orientation algebra by test_exif; this
     hash row pins the fused decode-once pipeline's distributed
-    execution."""
+    execution including the viewer-space transform."""
     import hashlib
 
     import numpy as np
 
+    from bisque_spark.functions.exif import apply_orientation, extract_exif
     from bisque_spark.synth import decode_image, synth_image
 
     rows = []
@@ -1633,6 +1640,9 @@ def _image_features_oracle_sql() -> str:
         arr = np.frombuffer(
             decode_image(bytes(meta["bytes"]), fmt), dtype=np.uint8
         ).reshape(h, w, 3)
+        o = extract_exif(bytes(meta["bytes"])).get("orientation") or 1
+        arr = apply_orientation(arr, o)
+        h, w = arr.shape[0], arr.shape[1]
         means = [
             _round_like_spark(float(arr[..., c].mean())) for c in range(3)
         ]

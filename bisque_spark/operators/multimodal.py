@@ -136,39 +136,71 @@ def _decode(row_bytes, fmt: str, w: int, h: int) -> np.ndarray:
     return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
 
 
-def image_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-image channel means (the feature-extraction stand-in)."""
-    for pdf in batches:
-        out = {
-            "image_id": [], "w": [], "h": [], "fmt": [],
-            "mean_r": [], "mean_g": [], "mean_b": [], "error": [],
-        }
-        for image_id, data, w, h, fmt in zip(
-            pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-        ):
-            err = None
-            means = (None, None, None)
-            try:
-                arr = _decode(data, fmt, int(w), int(h))
-                means = tuple(float(arr[..., c].mean()) for c in range(3))
-            except NotImplementedError:
-                err = f"codec_unavailable:{fmt}"
-            except Exception as exc:  # noqa: BLE001
-                err = f"decode_error:{type(exc).__name__}"
-            out["image_id"].append(image_id)
-            out["w"].append(int(w))
-            out["h"].append(int(h))
-            out["fmt"].append(fmt)
-            out["mean_r"].append(means[0])
-            out["mean_g"].append(means[1])
-            out["mean_b"].append(means[2])
-            out["error"].append(err)
-        yield pd.DataFrame(out)
+def _row_orientation(data) -> int:
+    """EXIF tag-274 of the row bytes (1 when absent / non-JPEG /
+    hostile — the conservative per-row contract)."""
+    from bisque_spark.functions.exif import extract_exif
+
+    try:
+        o = extract_exif(bytes(data)).get("orientation")
+    except Exception:  # noqa: BLE001 — hostile bytes never kill a task
+        o = None
+    return o if isinstance(o, int) and 1 <= o <= 8 else 1
 
 
-def image_features(images: DataFrame) -> DataFrame:
+def make_image_features_batches(orient: bool = False):
+    """Per-image channel means (the feature-extraction stand-in).
+
+    orient=True applies the EXIF tag-274 transform after decode so the
+    reported dims (and any pixel-order-dependent downstream) are
+    viewer-space — a tag-6 phone photo then features identically to
+    its upright re-encode. Channel means are orientation-invariant by
+    construction; w/h swap for orientations 5-8."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "w": [], "h": [], "fmt": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "error": [],
+            }
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                err = None
+                means = (None, None, None)
+                ow, oh = int(w), int(h)
+                try:
+                    arr = _decode(data, fmt, int(w), int(h))
+                    if orient:
+                        arr = oriented_pixels(arr, _row_orientation(data))
+                        oh, ow = arr.shape[0], arr.shape[1]
+                    means = tuple(
+                        float(arr[..., c].mean()) for c in range(3)
+                    )
+                except NotImplementedError:
+                    err = f"codec_unavailable:{fmt}"
+                except Exception as exc:  # noqa: BLE001
+                    err = f"decode_error:{type(exc).__name__}"
+                out["image_id"].append(image_id)
+                out["w"].append(ow)
+                out["h"].append(oh)
+                out["fmt"].append(fmt)
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+# module-level name kept: tests and the bench call it directly
+image_features_batches = make_image_features_batches(orient=False)
+
+
+def image_features(images: DataFrame, orient: bool = False) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        image_features_batches, schema=FEATURES_SCHEMA
+        make_image_features_batches(orient), schema=FEATURES_SCHEMA
     )
 
 
@@ -267,11 +299,19 @@ PIPELINE_SCHEMA = (
 )
 
 
-def image_pipeline(images: DataFrame, thumb_target: int = 8) -> DataFrame:
+def image_pipeline(
+    images: DataFrame, thumb_target: int = 8, orient: bool = False
+) -> DataFrame:
     """Fused features + thumbnail stage: ONE decode per image (the
     decode dominates at 100 TB — running image_features and
     image_thumbnails separately pays it twice). Emits the features
-    columns plus the thumbnail blob in a single Arrow pass."""
+    columns plus the thumbnail blob in a single Arrow pass.
+
+    orient=True (VERDICT r6 #2) applies the EXIF tag-274 transform
+    after decode, so thumbnails/dims are viewer-space: a tag-6 phone
+    photo then thumbs byte-identically to its upright re-encode
+    instead of hashing as a different image. The marker-walk EXIF
+    extraction is header-only — no second pixel pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -284,14 +324,18 @@ def image_pipeline(images: DataFrame, thumb_target: int = 8) -> DataFrame:
             ):
                 err, blob = None, None
                 means = (None, None, None)
+                ow, oh = int(w), int(h)
                 try:
                     arr = _decode(data, fmt, int(w), int(h))
+                    if orient:
+                        arr = oriented_pixels(arr, _row_orientation(data))
+                        oh, ow = arr.shape[0], arr.shape[1]
                     means = tuple(float(arr[..., c].mean()) for c in range(3))
                     ys = np.linspace(
-                        0, int(h) - 1, min(thumb_target, int(h))
+                        0, oh - 1, min(thumb_target, oh)
                     ).astype(int)
                     xs = np.linspace(
-                        0, int(w) - 1, min(thumb_target, int(w))
+                        0, ow - 1, min(thumb_target, ow)
                     ).astype(int)
                     blob = arr[np.ix_(ys, xs)].tobytes()
                 except NotImplementedError:
@@ -299,8 +343,8 @@ def image_pipeline(images: DataFrame, thumb_target: int = 8) -> DataFrame:
                 except Exception as exc:  # noqa: BLE001
                     err = f"decode_error:{type(exc).__name__}"
                 out["image_id"].append(image_id)
-                out["w"].append(int(w))
-                out["h"].append(int(h))
+                out["w"].append(ow)
+                out["h"].append(oh)
                 out["fmt"].append(fmt)
                 out["mean_r"].append(means[0])
                 out["mean_g"].append(means[1])

@@ -384,3 +384,62 @@ def test_image_signals_fixed_vec(spark):
     assert all(r["error"] is None for r in rows.values())
     assert all(len(r["thumb_vec"]) == 64 for r in rows.values())
     assert all(0.0 <= v <= 1.0 for r in rows.values() for v in r["thumb_vec"])
+
+
+def test_orient_tag6_row_equals_upright_reencode(spark):
+    """VERDICT r6 #2 done-bar: through image_pipeline(orient=True) a
+    tag-274=6 JPEG features/thumbs byte-identically to its upright
+    re-encode (the rotated pixels re-encoded LOSSLESSLY as PNG, so
+    exact equality is well-defined), and dims are viewer-space."""
+    import hashlib
+
+    from bisque_spark.functions.exif import apply_orientation, build_exif_app1
+    from bisque_spark.functions.jpeg import _seg, decode_jpeg, encode_jpeg
+    from bisque_spark.operators.multimodal import image_pipeline
+    from bisque_spark.synth import encode_png, image_pixels
+
+    w, h = 24, 16  # non-square: orientation 6 must swap dims
+    sensor = np.frombuffer(image_pixels("orient-t", w, h), np.uint8).reshape(
+        h, w, 3
+    )
+    j = encode_jpeg(sensor, quality=98)
+    rotated_row = j[:2] + _seg(0xE1, build_exif_app1(orientation=6)) + j[2:]
+    upright_pixels = apply_orientation(decode_jpeg(j), 6)  # viewer space
+    upright_row = encode_png(
+        upright_pixels.tobytes(), upright_pixels.shape[1],
+        upright_pixels.shape[0],
+    )
+    df = spark.createDataFrame(
+        [
+            ("tag6", bytearray(rotated_row), w, h, "jpeg"),
+            ("upright", bytearray(upright_row), upright_pixels.shape[1],
+             upright_pixels.shape[0], "png"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r for r in
+           image_pipeline(df, thumb_target=8, orient=True).collect()}
+    a, b = got["tag6"], got["upright"]
+    assert a["error"] is None and b["error"] is None
+    assert (a["w"], a["h"]) == (h, w)  # swapped: viewer space
+    assert (a["w"], a["h"]) == (b["w"], b["h"])
+    assert bytes(a["thumb"]) == bytes(b["thumb"])
+    assert (a["mean_r"], a["mean_g"], a["mean_b"]) == (
+        b["mean_r"], b["mean_g"], b["mean_b"])
+    # orient=False: same row hashes DIFFERENTLY (sensor-native) — the
+    # pre-r7 behavior the EXIF docstring warned about
+    off = {r["image_id"]: r for r in
+           image_pipeline(df, thumb_target=8, orient=False).collect()}
+    assert bytes(off["tag6"]["thumb"]) != bytes(off["upright"]["thumb"])
+    # image_features(orient=True) agrees on viewer dims
+    from bisque_spark.operators.multimodal import image_features
+
+    f = {r["image_id"]: r for r in image_features(df, orient=True).collect()}
+    assert (f["tag6"]["w"], f["tag6"]["h"]) == (h, w)
+    # and a hostile-bytes row is contained, not fatal, under orient
+    bad = spark.createDataFrame(
+        [("junk", bytearray(b"\xff\xd8\xff\xe1junk"), 4, 4, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    [r] = image_pipeline(bad, orient=True).collect()
+    assert r["error"] is not None
