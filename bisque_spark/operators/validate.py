@@ -46,7 +46,10 @@ IMAGES_SPEC: dict[str, FieldRule] = {
     "bytes": FieldRule(typ=(bytes, bytearray), min_len=1),
     "w": FieldRule(typ=int, min_value=1, max_value=INT32_MAX),
     "h": FieldRule(typ=int, min_value=1, max_value=INT32_MAX),
-    "fmt": FieldRule(typ=str, allowed=frozenset({"raw", "png", "jpeg"})),
+    "fmt": FieldRule(
+        typ=str,
+        allowed=frozenset({"raw", "png", "jpeg", "gif", "tiff", "ico"}),
+    ),
     "caption": FieldRule(typ=str, min_len=0),
     "phash": FieldRule(typ=int, min_value=-INT64_MAX - 1, max_value=INT64_MAX),
 }

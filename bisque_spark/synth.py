@@ -144,18 +144,95 @@ def decode_png(data: bytes) -> tuple[bytes, int, int]:
     return pixels, w, h
 
 
+def posterize64(pixels: bytes) -> bytes:
+    """2 bits/channel (levels 0/85/170/255) → ≤64 distinct colors: the
+    deterministic palette reduction for GIF rows (encode_gif is exact,
+    not a quantizer — the posterized grid IS the ground truth, so the
+    lossless round-trip invariant holds bit-for-bit)."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8)
+    return ((a >> 6) * np.uint8(85)).tobytes()
+
+
+def synth_favicon(host: str) -> dict:
+    """host → deterministic /favicon.ico row: a 2-entry ICO (an 8×8
+    low-depth DIB plus the 16×16 best entry as PNG-in-ICO or a DIB).
+    decode_ico picks the 16×16 entry, so truth pixels are that grid
+    (alpha fully opaque ⇒ transparency-over-white is the identity)."""
+    import numpy as np
+
+    from bisque_spark.functions.ico import encode_ico
+
+    rng = DetRng("ico:" + host)
+    iid = "favicon:" + host
+    best = np.frombuffer(image_pixels(iid, 16, 16), np.uint8).reshape(
+        16, 16, 3
+    )
+    small = np.frombuffer(
+        image_pixels(iid + ":8", 8, 8), np.uint8
+    ).reshape(8, 8, 3)
+    kind = ("png", "dib32", "dib24")[rng.randint(0, 2)]
+    opts: dict = {"kind": kind}
+    if kind == "dib32":
+        opts["alpha"] = np.full((16, 16), 255, np.uint8)
+    data = encode_ico([(small, {"kind": "dib24"}), (best, opts)])
+    return {
+        "bytes": data,
+        "w": 16,
+        "h": 16,
+        "fmt": "ico",
+        "phash": xxhash64_bytes(best.tobytes()),
+    }
+
+
 def synth_image(image_id: str) -> dict:
-    """image_id → {bytes, w, h, fmt, phash} (FIXTURES.md §1)."""
+    """image_id → {bytes, w, h, fmt, phash} (FIXTURES.md §1).
+
+    Fmt mix (r7): raw 30% / png 30% / gif 10% / tiff 5% / jpeg 25% —
+    every decoder in the codec layer sees crawl traffic, not just unit
+    tests (VERDICT r6 #3). ``favicon:<host>`` ids dispatch to
+    synth_favicon (the /favicon.ico protocol fetch)."""
+    if image_id.startswith("favicon:"):
+        return synth_favicon(image_id[len("favicon:"):])
     rng = DetRng("img:" + image_id)
     w = rng.randint(8, 64)
     h = rng.randint(8, 64)
     pixels = image_pixels(image_id, w, h)
     u = rng.u01()
-    fmt = "raw" if u < 0.35 else ("png" if u < 0.7 else "jpeg")
+    fmt = (
+        "raw" if u < 0.30
+        else "png" if u < 0.60
+        else "gif" if u < 0.70
+        else "tiff" if u < 0.75
+        else "jpeg"
+    )
     if fmt == "raw":
         data = pixels
     elif fmt == "png":
         data = encode_png(pixels, w, h)
+    elif fmt == "gif":
+        import numpy as np
+
+        from bisque_spark.functions.gif import encode_gif
+
+        # the posterized grid is the ground truth (phash/PSNR gate)
+        pixels = posterize64(pixels)
+        arr = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+        data = encode_gif(arr, interlace=rng.u01() < 0.25)
+    elif fmt == "tiff":
+        import numpy as np
+
+        from bisque_spark.functions.tiff import encode_tiff
+
+        arr = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+        comp = (1, 8, 32773, 5)[rng.randint(0, 3)]  # lzw least (slowest)
+        data = encode_tiff(
+            arr,
+            endian="<" if rng.u01() < 0.5 else ">",
+            compression=comp,
+            predictor=2 if comp in (5, 8) and rng.u01() < 0.5 else 1,
+        )
     else:
         # REAL lossy rows (VERDICT r3 #5): JPEG at quality 98 —
         # measured ~43.5 dB on this pixel class, clearing the
@@ -237,6 +314,10 @@ def decode_image(row_bytes: bytes, fmt: str) -> bytes:
         from bisque_spark.functions.tiff import decode_tiff
 
         return decode_tiff(bytes(row_bytes)).tobytes()
+    if fmt == "ico":
+        from bisque_spark.functions.ico import decode_ico
+
+        return decode_ico(bytes(row_bytes)).tobytes()
     raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
 
 

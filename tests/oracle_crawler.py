@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from bisque_spark.functions.urlnorm import canonicalize_url, url_host
 from bisque_spark.hashing import xxhash64_str
-from bisque_spark.synth import World, host_budget, page_bytes, robots_rows, synth_image
+from bisque_spark.synth import (
+    World,
+    host_budget,
+    page_bytes,
+    page_index,
+    robots_rows,
+    synth_image,
+)
 
 from ref_oracle import ref_soup  # noqa: E402  (injects /root/reference/src)
 
@@ -170,6 +177,16 @@ def crawl_oracle(
             if status != 200 or content is None:
                 continue
             images, links = oracle_extract(content, row["url"])
+            pi = page_index(row["url"])
+            if pi is not None and pi[1] == 0:
+                # protocol-level favicon fetch on a successful root page
+                images = list(images) + [
+                    {
+                        "image_id": f"favicon:{pi[0]}",
+                        "src": "/favicon.ico",
+                        "caption": "",
+                    }
+                ]
             for img in images:
                 meta = synth_image(img["image_id"])
                 images_out.append(

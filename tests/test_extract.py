@@ -82,6 +82,7 @@ def test_nofollow_policy():
 
 def test_image_roundtrip_lossless():
     img = synth_image("img-test-1")
+    assert img["fmt"] == "png"  # fixture anchor under the r7 fmt mix
     pixels = decode_image(img["bytes"], img["fmt"])
     assert len(pixels) == img["w"] * img["h"] * 3
     # PNG path decodes to identical pixels (PSNR = ∞ ≥ 40dB gate)
@@ -92,3 +93,61 @@ def test_image_roundtrip_lossless():
 
     dec, w, h = decode_png(png)
     assert (dec, w, h) == (raw, img["w"], img["h"])
+
+
+def test_world_plants_all_five_formats_and_all_roundtrip():
+    """VERDICT r6 #3 done-bar: the synth world emits every codec-layer
+    format, and each row meets its decode invariant — byte-equal for
+    the lossless fmts (gif truth = the posterized grid), PSNR ≥ 40 dB
+    for jpeg. Favicons decode to the 16×16 best-entry grid."""
+    import numpy as np
+
+    from bisque_spark.functions.jpeg import psnr
+    from bisque_spark.synth import posterize64
+
+    seen = set()
+    for i in range(120):
+        iid = f"img-mix-{i}"
+        m = synth_image(iid)
+        seen.add(m["fmt"])
+        got = decode_image(m["bytes"], m["fmt"])
+        assert len(got) == m["w"] * m["h"] * 3
+        truth = image_pixels(iid, m["w"], m["h"])
+        if m["fmt"] == "gif":
+            assert got == posterize64(truth)
+        elif m["fmt"] == "jpeg":
+            a = np.frombuffer(truth, np.uint8).reshape(m["h"], m["w"], 3)
+            b = np.frombuffer(got, np.uint8).reshape(m["h"], m["w"], 3)
+            assert psnr(a, b) >= 40.0
+        else:
+            assert got == truth
+    assert seen == {"raw", "png", "jpeg", "gif", "tiff"}
+    fav = synth_image("favicon:h001.test")
+    assert fav["fmt"] == "ico" and (fav["w"], fav["h"]) == (16, 16)
+    assert decode_image(fav["bytes"], "ico") == image_pixels(
+        "favicon:h001.test", 16, 16
+    )
+
+
+def test_root_fetch_emits_favicon_entry():
+    """A successful root-page fetch appends the protocol-level
+    /favicon.ico image entry; non-root pages don't."""
+    import pandas as pd
+
+    from bisque_spark.operators.extract import make_fetch_extract_batches
+    from bisque_spark.synth import World
+
+    world = World(n_hosts=4, n_seeds=4, pages_per_host=6)
+    host = world.host(0)
+    fe = make_fetch_extract_batches(world)
+    [out] = list(
+        fe(iter([pd.DataFrame({"url": [
+            f"http://{host}/", f"http://{host}/p1.html"
+        ]})]))
+    )
+    root_imgs = out["images"][0]
+    assert root_imgs and root_imgs[-1]["image_id"] == f"favicon:{host}"
+    assert root_imgs[-1]["src"] == "/favicon.ico"
+    assert not any(
+        i["image_id"].startswith("favicon:") for i in out["images"][1]
+    )
