@@ -21,7 +21,10 @@ Scope — deliberately the baseline profile only:
   12-bit extended sequential (SOF1) / 12-bit progressive with Pq=1
   16-bit quantization tables — 12-bit samples map linearly onto the
   engine's 8-bit RGB contract. Arithmetic coding and >2× sampling
-  raise NotImplementedError — callers route that to an error column
+  raise NotImplementedError — callers route that to an error column.
+  (r7: lossless WebP/VP8L moved OUT of the error column into
+  functions/webp.py; the remaining real-web residue is
+  arithmetic-coded JPEG and lossy VP8.)
   (multimodal.py contract).
 
 The DCT is the orthonormal matrix form (D @ block @ D.T == the T.81

@@ -48,7 +48,9 @@ IMAGES_SPEC: dict[str, FieldRule] = {
     "h": FieldRule(typ=int, min_value=1, max_value=INT32_MAX),
     "fmt": FieldRule(
         typ=str,
-        allowed=frozenset({"raw", "png", "jpeg", "gif", "tiff", "ico"}),
+        allowed=frozenset(
+            {"raw", "png", "jpeg", "gif", "tiff", "ico", "webp"}
+        ),
     ),
     "caption": FieldRule(typ=str, min_len=0),
     "phash": FieldRule(typ=int, min_value=-INT64_MAX - 1, max_value=INT64_MAX),

@@ -448,7 +448,11 @@ def run_crawl(
         # new_urls (cogroup → extracted → scheduled) — at full
         # parallelism; the junction's slices then read caches instead of
         # racing to populate them and re-running the fetch UDF
-        next_frontier.count()
+        # (_SKIP_WARM is an A/B probe: Spark's BlockManager takes a
+        # per-block write lock in getOrElseUpdate, so concurrent slice
+        # tasks should serialize on the cache, not recompute)
+        if not globals().get("_SKIP_WARM"):
+            next_frontier.count()
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------

@@ -49,11 +49,11 @@ def test_thumbnails(spark, images):
 
 def test_unknown_codec_contained(spark):
     df = spark.createDataFrame(
-        [("x", b"\x00\x01", 2, 2, "webp")],
+        [("x", b"\x00\x01", 2, 2, "avif")],
         "image_id string, bytes binary, w int, h int, fmt string",
     )
     r = image_features(df).first()
-    assert r["error"] == "codec_unavailable:webp"
+    assert r["error"] == "codec_unavailable:avif"
     assert r["mean_r"] is None
 
 
@@ -224,7 +224,7 @@ def test_image_pipeline_fused_matches_separate_stages(spark):
     for i in range(10):
         m = synth_image(f"fuse-{i}")
         rows.append((f"fuse-{i}", bytearray(m["bytes"]), m["w"], m["h"], m["fmt"]))
-    rows.append(("bad", bytearray(b"\x00"), 4, 4, "webp"))
+    rows.append(("bad", bytearray(b"\x00"), 4, 4, "avif"))
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
@@ -240,7 +240,7 @@ def test_image_pipeline_fused_matches_separate_stages(spark):
         assert (bytes(f["thumb"]) if f["thumb"] is not None else None) == (
             bytes(sep_t["thumb"]) if sep_t["thumb"] is not None else None
         )
-    assert fused["bad"]["error"] == "codec_unavailable:webp"
+    assert fused["bad"]["error"] == "codec_unavailable:avif"
 
 
 from hypothesis import given, settings

@@ -49,7 +49,7 @@ class ImageRow(BaseModel):
     @field_validator("fmt")
     @classmethod
     def _fmt(cls, v):
-        if v not in {"raw", "png", "jpeg", "gif", "tiff", "ico"}:
+        if v not in {"raw", "png", "jpeg", "gif", "tiff", "ico", "webp"}:
             raise ValueError("bad fmt")
         return v
 
@@ -99,7 +99,7 @@ def test_matches_pydantic_verdicts():
 
 def test_all_field_errors_collected():
     row = _good_row()
-    row.update({"w": 0, "fmt": "webp", "image_id": ""})
+    row.update({"w": 0, "fmt": "svg", "image_id": ""})
     valid, errors = validate_rows(pd.DataFrame([row]), IMAGES_SPEC)
     assert not valid[0]
     assert len(errors[0]) == 3  # every failing field reported
