@@ -54,6 +54,19 @@ from bisque_spark.synth import World
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "crawl_delay"]
 
+# Explicit read schemas: spark.read.parquet without a schema submits a
+# footer-inference JOB per path — measured ~0.15 s of driver latency
+# each, and the state unions read base + one delta per epoch, so the
+# inference cost grows with crawl depth. With .schema(...) the read is
+# pure plan-building (columns are pruned by name from the superset
+# junction schema).
+_FRONTIER_SCHEMA = (
+    "url string, url_hash bigint, host string, depth int, "
+    "priority double, crawl_delay double"
+)
+_SEEN_SCHEMA = "url_hash bigint"
+_SHARDS_SCHEMA = "bucket int, bloom binary"
+
 # The per-epoch state junction: frontier / order log / seen delta /
 # images / lineage counters share one superset schema and are written
 # as ONE partitioned parquet table (junction/table=<slice>). Round 1
@@ -170,7 +183,10 @@ def _read_seen_union(spark: SparkSession, workdir: str, last: int) -> DataFrame:
     # per-path reads unioned by name: the seed file and the junction
     # slices have different physical schemas (narrow vs superset), so a
     # single multi-path read would pick one footer's schema arbitrarily
-    dfs = [spark.read.parquet(p).select("url_hash") for p in existing]
+    dfs = [
+        spark.read.schema(_SEEN_SCHEMA).parquet(p).select("url_hash")
+        for p in existing
+    ]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
@@ -196,7 +212,8 @@ def _read_shard_union(spark: SparkSession, workdir: str, last: int) -> DataFrame
     ]
     existing = [p for p in paths if os.path.exists(p)]
     dfs = [
-        spark.read.parquet(p).select("bucket", "bloom") for p in existing
+        spark.read.schema(_SHARDS_SCHEMA).parquet(p).select("bucket", "bloom")
+        for p in existing
     ]
     out = dfs[0]
     for df in dfs[1:]:
@@ -279,7 +296,9 @@ def run_crawl(
         if last is not None:
             frontier_path = _junction_path(workdir, last, "frontier")
             frontier = (
-                spark.read.parquet(frontier_path).select(*FRONTIER_COLS)
+                spark.read.schema(_FRONTIER_SCHEMA)
+                .parquet(frontier_path)
+                .select(*FRONTIER_COLS)
                 if os.path.exists(frontier_path)
                 else None
             )
@@ -343,8 +362,16 @@ def run_crawl(
 
             release_caches()
         frontier_on_disk = seed_path
-        frontier = spark.read.parquet(seed_path).select(*FRONTIER_COLS)
-        seen_exact = spark.read.parquet(seed_path).select("url_hash")
+        frontier = (
+            spark.read.schema(_FRONTIER_SCHEMA)
+            .parquet(seed_path)
+            .select(*FRONTIER_COLS)
+        )
+        seen_exact = (
+            spark.read.schema(_SEEN_SCHEMA)
+            .parquet(seed_path)
+            .select("url_hash")
+        )
         shards = build_shards(seen_exact, n_buckets=n_buckets)
     elif frontier is not None:
         frontier_on_disk = _junction_path(workdir, start_epoch - 1, "frontier")
@@ -555,7 +582,9 @@ def run_crawl(
         # iterative loop and makes resume = continue exactly
         frontier_on_disk = _junction_path(workdir, epoch, "frontier")
         frontier = (
-            spark.read.parquet(frontier_on_disk).select(*FRONTIER_COLS)
+            spark.read.schema(_FRONTIER_SCHEMA)
+            .parquet(frontier_on_disk)
+            .select(*FRONTIER_COLS)
             if os.path.exists(frontier_on_disk)
             else None
         )
