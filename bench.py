@@ -218,6 +218,19 @@ def bench_once() -> dict:
     for _ in range(REPLICATES):
         crawl_s, crawl_urls = run_crawl_bench(spark)
         crawl_runs.append(crawl_s)
+    # steal rescue (r7): a co-tenant steal window inflates one or more
+    # replicates by 1.5-2x (observed interleaved draws 17-36 s on the
+    # same build). When the spread is pathological, take up to 2 extra
+    # replicates and report the median of ALL draws — strictly more
+    # robust, never cherry-picking (the median can move either way).
+    extra = 0
+    while (
+        extra < 2
+        and max(crawl_runs) > 1.5 * min(crawl_runs)
+    ):
+        crawl_s, crawl_urls = run_crawl_bench(spark)
+        crawl_runs.append(crawl_s)
+        extra += 1
     crawl_s = statistics.median(crawl_runs)
     timings["crawl_3epochs"] = round(crawl_s, 3)
     spreads["crawl_3epochs"] = [round(min(crawl_runs), 3), round(max(crawl_runs), 3)]

@@ -180,7 +180,15 @@ def parse_avi(data: bytes) -> dict:
                 frames.append(buf[body_start:body_end])
             pos = body_start + size + (size & 1)
 
-    walk(data, 12, 8 + int.from_bytes(data[4:8], "little"), False)
+    # clamp the declared RIFF size to the actual buffer: a hostile
+    # header claiming 0xFFFFFFFF otherwise walks ~500M empty 8-byte
+    # steps (measured ~5 min of spin per row — a crawler DoS, r7)
+    walk(
+        data,
+        12,
+        min(8 + int.from_bytes(data[4:8], "little"), len(data)),
+        False,
+    )
     if meta["codec"] is None:
         raise ValueError("avi missing vids stream header")
     meta["n_frames"] = len(frames)

@@ -130,8 +130,7 @@ class _HuffTree:
             raise ValueError("invalid (incomplete) Huffman code")
         table = np.zeros(1 << max_len, dtype=np.int32)
         tlen = np.zeros(1 << max_len, dtype=np.int8)
-        for sym, l in sorted(((s, l) for l, s in nz)):
-            pass  # placeholder to keep symbol-order iteration explicit
+        # canonical order: shorter codes first, ties by symbol index
         for l, sym in sorted(nz, key=lambda t: (t[0], t[1])):
             c = next_code[l]
             next_code[l] += 1
@@ -791,22 +790,17 @@ def encode_webp_lossless(
         else:
             green = idx
         argb = (np.uint32(0xFF) << 24) | (green << 8)
-    else:
-        bw.write(0, 1) if not subtract_green else None
-        if subtract_green:
-            bw.write(1, 1)
-            bw.write(2, 2)  # SUBTRACT_GREEN
-            gg = (argb >> 8) & 0xFF
-            rr = (((argb >> 16) & 0xFF) - gg) & 0xFF
-            bb = ((argb & 0xFF) - gg) & 0xFF
-            argb = (argb & 0xFF00FF00) | (rr << 16) | bb
-            bw.write(0, 1)  # end of transforms
-    if palette:
-        bw.write(0, 1)  # end of transforms
+    elif subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        gg = (argb >> 8) & 0xFF
+        rr = (((argb >> 16) & 0xFF) - gg) & 0xFF
+        bb = ((argb & 0xFF) - gg) & 0xFF
+        argb = (argb & 0xFF00FF00) | (rr << 16) | bb
+    bw.write(0, 1)  # end of transforms
     _encode_entropy_image(
         bw, argb.reshape(-1), xsize, h, cache_bits=cache_bits, lz77=lz77_rows
     )
-    payload = bytes([0x2F]) + bw.getvalue()[1:]  # signature already byte 0
     payload = bw.getvalue()
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

@@ -224,3 +224,16 @@ def test_sampled_frames_feed_image_pipeline(spark):
     assert len(out) > 0
     assert all(r["error"] is None for r in out)
     assert all(r["w"] == v["w"] and r["h"] == v["h"] for r in out)
+
+
+def test_hostile_riff_size_contained_fast():
+    """A header claiming size 0xFFFFFFFF over a 14-byte body must fail
+    in microseconds, not walk ~500M empty chunk steps (r7: measured
+    ~5 min of spin per row before the clamp — a crawler DoS class)."""
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFF\xff\xff\xff\xffAVI x")
+    # generous bound: the pre-fix behavior took minutes
+    assert time.perf_counter() - t0 < 1.0
