@@ -658,11 +658,12 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def synth_video(media_id: str) -> dict:
-    """Deterministic short AVI clip derived from the id: a moving
+    """Deterministic short clip derived from the id: a moving
     gradient plus a drifting bright square (nonzero inter-frame
     motion, so the sampled-frame motion signal is a real measurement).
-    Codec alternates MJPG / DIB by seed to exercise both decode
-    paths."""
+    Container alternates AVI / MP4 by seed (r7: real-web video is
+    MP4-dominant); AVI codec alternates MJPG / DIB, MP4 carries
+    'jpeg' (QuickTime Motion-JPEG) samples."""
     from bisque_spark.functions.avi import encode_avi
     from bisque_spark.hashing import xxh64
 
@@ -672,6 +673,7 @@ def synth_video(media_id: str) -> dict:
     h = 16 + 2 * int(rng.randint(0, 9))
     n_frames = 6 + int(rng.randint(0, 7))  # 6-12
     fps = float(rng.choice([5.0, 10.0, 15.0, 24.0, 30.0]))
+    container = "mp4" if seed % 4 == 0 else "avi"
     codec = "MJPG" if seed % 3 else "DIB "
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
@@ -685,9 +687,15 @@ def synth_video(media_id: str) -> dict:
         sy = (seed // 7 % max(h - 4, 1) + t * 2) % max(h - 4, 1)
         fr[sy : sy + 4, sx : sx + 4] = 255
         frames.append(fr)
+    if container == "mp4":
+        from bisque_spark.functions.mp4 import encode_mp4
+
+        data = encode_mp4(frames, fps=fps, quality=90)
+    else:
+        data = encode_avi(frames, fps=fps, codec=codec, quality=90)
     return {
-        "bytes": encode_avi(frames, fps=fps, codec=codec, quality=90),
-        "fmt": "avi",
+        "bytes": data,
+        "fmt": container,
         "n_frames": n_frames,
         "w": w,
         "h": h,
@@ -713,7 +721,14 @@ def video_frame_sample_batches(
     cheap curation signal for static-clip filtering."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from bisque_spark.functions.avi import decode_frame, parse_avi
+        from bisque_spark.functions.avi import decode_frame, ensure_dht, parse_avi
+        from bisque_spark.functions.jpeg import decode_jpeg
+        from bisque_spark.functions.mp4 import parse_mp4
+
+        def mp4_frame(meta: dict, i: int) -> np.ndarray:
+            if meta["codec"].lower() not in ("jpeg", "mjpa", "mjpb"):
+                raise NotImplementedError(meta["codec"])
+            return decode_jpeg(ensure_dht(bytes(meta["frames"][i])))
 
         for pdf in batches:
             out = {
@@ -727,11 +742,16 @@ def video_frame_sample_batches(
                 codec = w = h = fps = n_frames = None
                 idx = frames = motion = err = None
                 try:
-                    if fmt != "avi":
+                    if fmt == "avi":
+                        meta = parse_avi(bytes(data))
+                        frame_of = decode_frame
+                    elif fmt == "mp4":
+                        meta = parse_mp4(bytes(data))
+                        frame_of = mp4_frame
+                    else:
                         raise NotImplementedError(fmt)
-                    meta = parse_avi(bytes(data))
                     idx = list(range(0, meta["n_frames"], every_n))
-                    decoded = [decode_frame(meta, i) for i in idx]
+                    decoded = [frame_of(meta, i) for i in idx]
                     codec, w, h = meta["codec"], meta["w"], meta["h"]
                     fps, n_frames = meta["fps"], meta["n_frames"]
                     frames = [encode_ppm(fr) for fr in decoded]
@@ -776,9 +796,11 @@ def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling over opaque ``binary`` clips. Real decode
     for AVI containers carrying MJPG (per-frame baseline JPEG, incl.
     DHT-less camera streams — Annex K.3 defaults injected) or
-    uncompressed DIB frames; every other container/codec stays an
-    honest per-row ``codec_unavailable`` error (the r1-r5 stub
-    contract, now the exception rather than the rule)."""
+    uncompressed DIB frames, and (r7) MP4/ISO-BMFF containers carrying
+    'jpeg' Motion-JPEG sample entries (functions/mp4.py); compressed
+    codecs (avc1/hvc1/...) stay honest per-row ``codec_unavailable``
+    errors (the r1-r5 stub contract, now the exception rather than
+    the rule)."""
     return media.select("media_id", "bytes", "fmt").mapInPandas(
         video_frame_sample_batches(every_n), schema=VIDEO_FRAMES_SCHEMA
     )

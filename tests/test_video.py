@@ -128,18 +128,36 @@ def test_unsupported_codec_in_valid_container():
         decode_frame(meta, 0)
 
 
+def _parse_clip(v):
+    from bisque_spark.functions.mp4 import parse_mp4
+
+    return parse_mp4(v["bytes"]) if v["fmt"] == "mp4" else parse_avi(v["bytes"])
+
+
+def _twin_frame(v, meta, j):
+    if v["fmt"] == "mp4":
+        from bisque_spark.functions.avi import ensure_dht
+        from bisque_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(ensure_dht(bytes(meta["frames"][j])))
+    return decode_frame(meta, j)
+
+
 def test_synth_video_deterministic_and_decodable():
     a, b = synth_video("clip-42"), synth_video("clip-42")
     assert a["bytes"] == b["bytes"]
-    meta, dec = decode_avi_frames(a["bytes"])
-    assert meta["n_frames"] == a["n_frames"] == len(dec)
+    meta = _parse_clip(a)
+    assert meta["n_frames"] == a["n_frames"]
     assert (meta["w"], meta["h"]) == (a["w"], a["h"])
-    # both codecs appear across ids (seed-dependent choice)
-    codecs = {
-        parse_avi(synth_video(f"clip-{i}")["bytes"])["codec"]
-        for i in range(8)
-    }
-    assert codecs == {"MJPG", "DIB"}
+    # both containers and both AVI codecs appear across ids
+    containers = set()
+    codecs = set()
+    for i in range(16):
+        v = synth_video(f"clip-{i}")
+        containers.add(v["fmt"])
+        codecs.add(_parse_clip(v)["codec"])
+    assert containers == {"avi", "mp4"}
+    assert {"MJPG", "DIB", "jpeg"} <= codecs
 
 
 def test_video_frame_sample_matches_python_twin(spark):
@@ -163,7 +181,7 @@ def test_video_frame_sample_matches_python_twin(spark):
     for i in range(6):
         mid = f"clip-{i}"
         v = synth_video(mid)
-        meta = parse_avi(v["bytes"])
+        meta = _parse_clip(v)
         idx = list(range(0, meta["n_frames"], every_n))
         r = got[mid]
         assert r["error"] is None
@@ -175,7 +193,7 @@ def test_video_frame_sample_matches_python_twin(spark):
         assert len(r["frames"]) == len(idx)
         lumas = []
         for j, frame_ppm in zip(idx, r["frames"]):
-            twin = decode_frame(meta, j)
+            twin = _twin_frame(v, meta, j)
             px, w, h = decode_ppm(bytes(frame_ppm))
             assert (px == twin).all()
             lumas.append(twin.astype(np.float64).mean(axis=-1))
@@ -203,7 +221,7 @@ def test_sampled_frames_feed_image_pipeline(spark):
 
     v = synth_video("clip-0")
     df = spark.createDataFrame(
-        [("clip-0", bytearray(v["bytes"]), "avi")],
+        [("clip-0", bytearray(v["bytes"]), v["fmt"])],
         "media_id string, bytes binary, fmt string",
     )
     frames = (
@@ -237,3 +255,70 @@ def test_hostile_riff_size_contained_fast():
         parse_avi(b"RIFF\xff\xff\xff\xffAVI x")
     # generous bound: the pre-fix behavior took minutes
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_mp4_container_parse_and_hostile_containment():
+    """ISO-BMFF walk fixtures: metadata fields, sample extraction, and
+    hostile-header containment (clamped sizes, no spin — the AVI
+    lesson applied from day one)."""
+    import time
+
+    import numpy as np
+
+    from bisque_spark.functions.jpeg import decode_jpeg, psnr
+    from bisque_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    rng = np.random.RandomState(11)
+    frames = [
+        ((np.mgrid[0:20, 0:28][0] * 9 + t * 13) % 256)
+        .astype(np.uint8)[..., None]
+        .repeat(3, axis=2)
+        for t in range(4)
+    ]
+    data = encode_mp4(frames, fps=15.0, quality=95)
+    m = parse_mp4(data)
+    assert m["codec"] == "jpeg"
+    assert (m["w"], m["h"]) == (28, 20)
+    assert m["fps"] == 15.0
+    assert m["n_frames"] == 4
+    for fr, orig in zip(m["frames"], frames):
+        assert psnr(orig, decode_jpeg(fr)) >= 40.0
+    # hostile: truncated, no ftyp, declared-size overflow
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        parse_mp4(data[: len(data) // 2])  # moov at end → missing
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        parse_mp4(b"\xff\xff\xff\xffftypisom" + b"\x00" * 8)
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_mp4_clips_flow_through_spark_operator(spark):
+    """An MP4 synth clip runs the full Spark sampling path, and an
+    avc1-coded MP4 stays an honest codec_unavailable row."""
+    import struct
+
+    from bisque_spark.functions.mp4 import encode_mp4
+
+    mids = [f"clip-{i}" for i in range(16)]
+    clips = {m: synth_video(m) for m in mids}
+    mp4_ids = [m for m in mids if clips[m]["fmt"] == "mp4"]
+    assert mp4_ids, "seed mix should contain mp4 clips"
+    # forge an avc1 file by patching the stsd fourcc of a real one
+    forged = bytearray(clips[mp4_ids[0]]["bytes"])
+    at = forged.find(b"jpeg", forged.find(b"stsd"))
+    forged[at : at + 4] = b"avc1"
+    rows = [
+        (m, bytearray(clips[m]["bytes"]), clips[m]["fmt"]) for m in mp4_ids
+    ] + [("clip-avc1", bytearray(bytes(forged)), "mp4")]
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, fmt string"
+    )
+    got = {r["media_id"]: r for r in video_frame_sample(df, 2).collect()}
+    for m in mp4_ids:
+        assert got[m]["error"] is None, got[m]["error"]
+        assert got[m]["codec"] == "jpeg"
+        assert got[m]["n_frames"] == clips[m]["n_frames"]
+        assert len(got[m]["frames"]) >= 1
+    assert got["clip-avc1"]["error"] == "codec_unavailable:avc1"
