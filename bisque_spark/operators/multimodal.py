@@ -657,6 +657,75 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+PDF_TEXT_SCHEMA = "doc_id string, text string, n_pages int, error string"
+
+
+def pdf_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Opaque PDF bytes → extracted text + page count (functions/
+    pdf.py). Per-row honesty: unsupported features (encryption,
+    LZW/DCT content streams, ToUnicode-less Type0 fonts) land in the
+    error column as codec_unavailable; damage as decode_error —
+    hostile bytes never kill the task."""
+    from bisque_spark.functions.pdf import pdf_text
+
+    for pdf_batch in batches:
+        out = {"doc_id": [], "text": [], "n_pages": [], "error": []}
+        for doc_id, data in zip(pdf_batch["doc_id"], pdf_batch["bytes"]):
+            text = n_pages = None
+            err = None
+            try:
+                got = pdf_text(bytes(data))
+                text, n_pages = got["text"], got["n_pages"]
+            except NotImplementedError as exc:
+                err = f"codec_unavailable:{exc}"
+            except Exception as exc:  # noqa: BLE001
+                err = f"decode_error:{type(exc).__name__}"
+            out["doc_id"].append(doc_id)
+            out["text"].append(text)
+            out["n_pages"].append(n_pages)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def pdf_text_extract(docs: DataFrame) -> DataFrame:
+    """PDF text extraction over (doc_id, bytes) rows — the documents-
+    pipeline entry point for the crawl's non-HTML text class. The
+    output text column feeds the existing curation gates (langid,
+    quality, token stats, dedup) unchanged."""
+    return docs.select("doc_id", "bytes").mapInPandas(
+        pdf_text_batches, schema=PDF_TEXT_SCHEMA
+    )
+
+
+def synth_pdf(doc_id: str) -> dict:
+    """Deterministic PDF row: 1-3 pages of DetRng word text in a
+    layout drawn from the id (classic/xref-stream × plain/Flate × Tj/
+    TJ-arrays, 1 in 5 with the Identity-H unicode font). The page
+    texts are the ground truth the extractor must recover."""
+    from bisque_spark.functions.pdf import encode_pdf
+    from bisque_spark.synth import DetRng, _words
+
+    rng = DetRng("pdf:" + doc_id)
+    n_pages = rng.randint(1, 3)
+    pages = []
+    for p in range(n_pages):
+        lines = [
+            _words(rng, rng.randint(3, 8)) for _ in range(rng.randint(1, 5))
+        ]
+        pages.append("\n".join(lines))
+    unicode_font = rng.u01() < 0.2
+    if unicode_font:
+        pages = [p + "\ncafé — naïve 日本語" for p in pages]
+    data = encode_pdf(
+        pages,
+        compress=rng.u01() < 0.7,
+        use_tj_arrays=not unicode_font and rng.u01() < 0.4,
+        xref_stream=rng.u01() < 0.5,
+        unicode_font=unicode_font,
+    )
+    return {"bytes": data, "pages": pages, "n_pages": n_pages}
+
+
 def synth_video(media_id: str) -> dict:
     """Deterministic short clip derived from the id: a moving
     gradient plus a drifting bright square (nonzero inter-frame

@@ -1,0 +1,233 @@
+"""PDF text extraction — functions/pdf.py + multimodal.pdf_text_extract.
+
+Round-trips cover every writer layout (classic xref / xref streams +
+object streams, plain / Flate content, Tj / TJ kerning arrays,
+WinAnsi simple fonts / Identity-H Type0 with ToUnicode); reader-only
+features are graded against hand-built files (octal + escape strings,
+hex strings, comments, inherited page resources, bfchar CMaps,
+incremental-update Prev chains). Hostile bytes are contained.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from bisque_spark.functions.pdf import (
+    PdfDocument,
+    _Lexer,
+    _parse_tounicode,
+    encode_pdf,
+    pdf_text,
+)
+from bisque_spark.operators.multimodal import pdf_text_extract, synth_pdf
+
+PAGES = ["Hello crawl world\nSecond line here", "Page two content with words"]
+
+LAYOUTS = [
+    dict(compress=False),
+    dict(compress=True),
+    dict(use_tj_arrays=True),
+    dict(compress=False, use_tj_arrays=True),
+    dict(xref_stream=True),
+    dict(xref_stream=True, compress=False),
+    dict(xref_stream=True, use_tj_arrays=True),
+]
+
+
+@pytest.mark.parametrize("kw", LAYOUTS)
+def test_roundtrip_layouts(kw):
+    got = pdf_text(encode_pdf(PAGES, **kw))
+    assert got["n_pages"] == 2
+    assert got["text"] == "\n".join(PAGES)
+
+
+def test_unicode_identity_h_tounicode():
+    pages = ["Café résumé — naïve", "日本語のテキスト mixed ascii"]
+    for xs in (False, True):
+        got = pdf_text(encode_pdf(pages, unicode_font=True, xref_stream=xs))
+        assert got["text"] == "\n".join(pages)
+
+
+def test_winansi_high_bytes():
+    # 0x80-0x9F differ from latin-1 in WinAnsi (annex D)
+    pages = ["quotes “smart” and —dash— €99"]
+    got = pdf_text(encode_pdf(pages))
+    assert got["text"] == pages[0]
+
+
+# ---- lexer / object fixtures -------------------------------------------------
+
+
+def test_string_escapes_and_hex():
+    lx = _Lexer(rb"(a\(b\)c \\ \n \101 \7end)")
+    assert lx.parse() == b"a(b)c \\ \n A \x07end"
+    lx = _Lexer(b"(nested (parens) survive)")
+    assert lx.parse() == b"nested (parens) survive"
+    lx = _Lexer(b"<48656C6C 6F2>")
+    assert lx.parse() == b"Hello "
+    lx = _Lexer(b"<< /A 1 /B [2 3.5 (s)] /C << /D /Nm#20x >> >>")
+    d = lx.parse()
+    assert d["A"] == 1 and d["B"][1] == 3.5 and d["C"]["D"] == "Nm x"
+    # indirect reference vs plain numbers
+    lx = _Lexer(b"[ 1 0 R 2 3 ]")
+    arr = lx.parse()
+    assert arr[0].num == 1 and arr[1:] == [2, 3]
+    # comments are whitespace
+    lx = _Lexer(b"% header comment\n42")
+    assert lx.parse() == 42
+
+
+def test_tounicode_bfchar_and_array_ranges():
+    cmap = (
+        b"2 beginbfchar\n<0041> <0058>\n<0042> <00590060>\nendbfchar\n"
+        b"1 beginbfrange\n<0050> <0052> [<0070> <0071> <0072>]\nendbfrange\n"
+        b"1 beginbfrange\n<1000> <1002> <2000>\nendbfrange\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[0x41] == "X"
+    assert m[0x42] == "Y`"
+    assert [m[0x50], m[0x51], m[0x52]] == ["p", "q", "r"]
+    assert [m[0x1000], m[0x1002]] == [" ", " "]
+
+
+def test_inherited_resources_and_contents_array():
+    """Hand-edited file: Resources hoisted to the Pages node and the
+    content split into a two-part /Contents array."""
+    base = encode_pdf(["Split content page"], compress=False)
+    doc = PdfDocument(base)
+    pages = doc.pages()
+    assert len(pages) == 1
+    # build a custom file exercising inheritance + content arrays
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] "
+        b"/Resources << /Font << /F1 6 0 R >> >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length 36 >>\nstream\n"
+        b"BT /F1 12 Tf 72 720 Td (Part one) Tj\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length 16 >>\nstream\n"
+        b"( and two) Tj ET\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    )
+    offs = {}
+    pos = 0
+    for n in range(1, 7):
+        offs[n] = body.find(f"{n} 0 obj".encode())
+    xref_at = len(body)
+    xref = b"xref\n0 7\n0000000000 65535 f \n" + b"".join(
+        f"{offs[n]:010d} 00000 n \n".encode() for n in range(1, 7)
+    )
+    full = body + xref + (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF"
+    )
+    got = pdf_text(full)
+    assert got["text"] == "Part one and two"
+
+
+def test_incremental_update_prev_chain():
+    """A second xref section with /Prev must resolve: new objects win,
+    old ones stay reachable (the incremental-save layout)."""
+    base = encode_pdf(["Original text"], compress=False)
+    # append an updated page-content object (4 0 obj) + new xref
+    new_stream = b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET"
+    add_at = len(base) + 1
+    addition = (
+        b"\n4 0 obj\n<< /Length " + str(len(new_stream)).encode()
+        + b" >>\nstream\n" + new_stream + b"\nendstream\nendobj\n"
+    )
+    old_startxref = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    xref_at = len(base) + len(addition)
+    tail = (
+        b"xref\n4 1\n" + f"{add_at:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+        + str(old_startxref).encode() + b" >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF"
+    )
+    got = pdf_text(base + addition + tail)
+    assert got["text"] == "Updated text"
+
+
+# ---- honesty / containment ----------------------------------------------------
+
+
+def test_unsupported_features_honest():
+    data = encode_pdf(["x"], compress=False)
+    # the trailer lives after the xref table, so growing it is
+    # offset-safe; stream dicts need same-length swaps
+    enc = data.replace(b"/Root 1 0 R >>", b"/Root 1 0 R /Encrypt 1 0 R >>")
+    with pytest.raises(NotImplementedError):
+        pdf_text(enc)
+    lzw = encode_pdf(["x"], compress=True).replace(
+        b"/Filter /FlateDecode", b"/Filter /LZWDecode  "
+    )
+    with pytest.raises(NotImplementedError):
+        pdf_text(lzw)
+
+
+def test_hostile_bytes_contained():
+    good = encode_pdf(PAGES)
+    with pytest.raises(ValueError):
+        pdf_text(b"not a pdf at all")
+    with pytest.raises(Exception):
+        pdf_text(good[: len(good) // 2])
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        bad = bytearray(good)
+        for _ in range(4):
+            bad[rng.integers(10, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            pdf_text(bytes(bad))
+        except Exception:
+            pass  # any exception is fine; hangs/segfaults are not
+
+
+def test_scanned_image_pdf_extracts_empty():
+    """A page whose content draws no text (image-only) extracts as
+    empty text — true, not an error."""
+    data = encode_pdf([""], compress=False)
+    got = pdf_text(data)
+    assert got["text"] == "" and got["n_pages"] == 1
+
+
+# ---- synth rows + Spark operator ----------------------------------------------
+
+
+def test_synth_pdf_deterministic_and_recoverable():
+    a, b = synth_pdf("doc-7"), synth_pdf("doc-7")
+    assert a["bytes"] == b["bytes"]
+    for i in range(20):
+        s = synth_pdf(f"doc-{i}")
+        got = pdf_text(s["bytes"])
+        assert got["n_pages"] == s["n_pages"]
+        assert got["text"] == "\n".join(s["pages"]), f"doc-{i}"
+
+
+def test_pdf_text_extract_operator(spark):
+    rows = []
+    want = {}
+    for i in range(12):
+        s = synth_pdf(f"sp-doc-{i}")
+        rows.append((f"sp-doc-{i}", bytearray(s["bytes"])))
+        want[f"sp-doc-{i}"] = ("\n".join(s["pages"]), s["n_pages"])
+    rows.append(("bad", bytearray(b"%PDF-1.4 garbage")))
+    rows.append(("notpdf", bytearray(b"<html></html>")))
+    df = spark.createDataFrame(rows, "doc_id string, bytes binary")
+    got = {r["doc_id"]: r for r in pdf_text_extract(df).collect()}
+    for k, (text, n) in want.items():
+        assert got[k]["error"] is None
+        assert got[k]["text"] == text
+        assert got[k]["n_pages"] == n
+    assert got["bad"]["error"] is not None
+    assert got["notpdf"]["error"].startswith("decode_error:")
+    # extracted text feeds the existing text gates unchanged
+    from bisque_spark.functions.text import token_count_col
+    import pyspark.sql.functions as F
+
+    ok = pdf_text_extract(df).where(F.col("error").isNull())
+    counted = ok.select(token_count_col(F.col("text")).alias("n")).collect()
+    assert all(r["n"] > 0 for r in counted)

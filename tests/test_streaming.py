@@ -72,8 +72,22 @@ def test_stream_ingest_exactly_once(spark, dirs):
 def test_stream_matches_batch_extraction(spark, dirs):
     """The streaming pipeline must produce exactly what the batch
     operator produces on the same pages."""
+    import os
+
     from bisque_spark.operators.extract import EXTRACT_SCHEMA, extract_batches
 
+    if not os.path.exists(dirs["pages"]):
+        # self-sufficient under -k deselection: the exactly-once test
+        # normally populates pages AND the streaming sink first, but
+        # ordering is not a contract pytest guarantees
+        _write_pages_batch(spark, dirs["pages"], World(n_hosts=6), range(0, 6), 1)
+    if not os.path.exists(dirs["sink"]):
+        q = write_images_stream(
+            extract_images_stream(read_pages_stream(spark, dirs["pages"])),
+            dirs["sink"],
+            dirs["ckpt"],
+        )
+        q.awaitTermination(120)
     pages = spark.read.parquet(dirs["pages"])
     batch = (
         pages.select("url", "status", "content")
