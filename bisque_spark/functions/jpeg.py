@@ -195,18 +195,35 @@ class _SymbolSink:
             self.lens.append(length)
 
     def pack(self) -> bytes:
+        """Variable-length MSB-first bit packing, no per-bit matrix:
+        each symbol is placed as a 5-byte window OR'd into the output
+        buffer (r7 — the former (n_symbols × max_len) bit expansion
+        was 57% of encode_jpeg; this is a 5×ufunc.at scatter)."""
         if not self.codes:
             return b""
-        codes = np.asarray(self.codes, dtype=np.int64)
+        codes = np.asarray(self.codes, dtype=np.uint64)
         lens = np.asarray(self.lens, dtype=np.int64)
-        width = int(lens.max())
-        shifts = lens[:, None] - 1 - np.arange(width)[None, :]
-        valid = shifts >= 0
-        bits = ((codes[:, None] >> np.maximum(shifts, 0)) & 1)[valid]
-        pad = -len(bits) % 8
+        if int(lens.max()) > 32:
+            raise ValueError("symbol longer than 32 bits")
+        ends = np.cumsum(lens)
+        total = int(ends[-1])
+        offs = ends - lens
+        shift = (offs & 7).astype(np.uint64)
+        p = (offs >> 3).astype(np.int64)
+        # window: code's MSB lands at bit (8*5 - 1 - shift) of 5 bytes
+        win = codes << (np.uint64(40) - lens.astype(np.uint64) - shift)
+        buf = np.zeros(((total + 7) >> 3) + 5, dtype=np.uint8)
+        for k in range(5):
+            np.bitwise_or.at(
+                buf, p + k,
+                ((win >> np.uint64(8 * (4 - k))) & np.uint64(0xFF)).astype(
+                    np.uint8
+                ),
+            )
+        pad = (-total) % 8
         if pad:  # pad bits are 1s (T.81 F.1.2.3)
-            bits = np.concatenate([bits, np.ones(pad, dtype=bits.dtype)])
-        packed = np.packbits(bits.astype(np.uint8))
+            buf[(total - 1) >> 3] |= (1 << pad) - 1
+        packed = buf[: (total + pad) >> 3]
         stuffed_at = np.flatnonzero(packed == 0xFF)
         if len(stuffed_at):  # byte stuffing: 0xFF → 0xFF 0x00
             packed = np.insert(packed, stuffed_at + 1, 0)
@@ -265,6 +282,112 @@ def _encode_block(bw, coefs, dc_codes, ac_codes, prev_dc):
         codes_append(code)
         lens_append(length)
     return dc
+
+
+def _encode_scan_vec(quantized, factors, bw_mcu, bh_mcu, dc_tabs, ac_tabs):
+    """Vectorized symbol generation for ONE interleaved no-restart
+    scan — bit-identical to the per-block _encode_block walk (pinned
+    by test_jpeg's A/B), but every token class (DC symbol/bits, ZRL,
+    AC symbol/bits, EOB) is computed as numpy arrays over ALL blocks
+    and ordered by a (global block sequence, intra-block) sort key.
+    The per-coefficient Python loop was ~65%% of synth_image's cost at
+    crawl bench scale (~3000 images/epoch under 32-way contention)."""
+    n_comp = len(quantized)
+    bpm = sum(h * v for h, v in factors)
+    offs = np.cumsum([0] + [h * v for h, v in factors[:-1]])
+    all_codes = []
+    all_lens = []
+    all_keys = []
+    # intra-block key layout: pos*8 + subrank, pos 0 = DC, 1..63 AC,
+    # 64 = EOB; subranks: ZRL k -> k (run//16 <= 3), symbol 5, bits 6
+    KEYMAX = 65 * 8
+
+    def bitlen(a):
+        return np.ceil(np.log2(a.astype(np.float64) + 1.0)).astype(np.int64)
+
+    for ci in range(n_comp):
+        hi, vi = factors[ci]
+        t = min(ci, 1)
+        dc_code = np.array([c for c, _ in dc_tabs[t]], dtype=np.int64)
+        dc_len = np.array([l for _, l in dc_tabs[t]], dtype=np.int64)
+        ac_code = np.array([c for c, _ in ac_tabs[t]], dtype=np.int64)
+        ac_len = np.array([l for _, l in ac_tabs[t]], dtype=np.int64)
+        # visit order: per MCU, hi x vi tiles left-to-right top-to-bottom
+        row_tiles = bw_mcu * hi
+        my, mx, by, bx = np.meshgrid(
+            np.arange(bh_mcu), np.arange(bw_mcu),
+            np.arange(vi), np.arange(hi), indexing="ij",
+        )
+        seq_tiles = ((my * vi + by) * row_tiles + (mx * hi + bx)).reshape(-1)
+        cpm = hi * vi  # blocks this component contributes per MCU
+        tvis = np.arange(len(seq_tiles))
+        g_block = (tvis // cpm) * bpm + offs[ci] + (tvis % cpm)
+        qz = quantized[ci][seq_tiles].astype(np.int64)
+        # ---- DC tokens ----
+        d = np.diff(qz[:, 0], prepend=0)
+        s = np.where(d == 0, 0, bitlen(np.abs(d)))
+        bits = np.where(d > 0, d, d + (1 << s) - 1)
+        all_codes.append(dc_code[s])
+        all_lens.append(dc_len[s])
+        all_keys.append(g_block * KEYMAX + 0)
+        all_codes.append(bits)
+        all_lens.append(s)  # s==0 rows filtered at assembly
+        all_keys.append(g_block * KEYMAX + 1)
+        # ---- AC tokens ----
+        Z = qz[:, 1:]
+        mask = Z != 0
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            blk = idx // 63
+            pos = idx % 63  # 0-based AC position
+            v = Z.reshape(-1)[idx]
+            first = np.ones(len(idx), dtype=bool)
+            first[1:] = blk[1:] != blk[:-1]
+            prevpos = np.empty(len(idx), dtype=np.int64)
+            prevpos[0] = -1
+            prevpos[1:] = pos[:-1]
+            prevpos[first] = -1
+            run = pos - prevpos - 1
+            nzrl = run >> 4
+            rem = run & 15
+            sv = bitlen(np.abs(v))
+            sym = (rem << 4) | sv
+            vbits = np.where(v > 0, v, v + (1 << sv) - 1)
+            gb = g_block[blk]
+            # ZRL expansion with per-nonzero subranks 0..nzrl-1
+            tot = int(nzrl.sum())
+            if tot:
+                zrl_gb = np.repeat(gb, nzrl)
+                zrl_pos = np.repeat(pos, nzrl)
+                csum = np.cumsum(nzrl) - nzrl
+                sub = np.arange(tot) - np.repeat(csum, nzrl)
+                zc, zl = ac_tabs[t][0xF0]
+                all_codes.append(np.full(tot, zc, dtype=np.int64))
+                all_lens.append(np.full(tot, zl, dtype=np.int64))
+                all_keys.append(zrl_gb * KEYMAX + (zrl_pos + 1) * 8 + sub)
+            all_codes.append(ac_code[sym])
+            all_lens.append(ac_len[sym])
+            all_keys.append(gb * KEYMAX + (pos + 1) * 8 + 5)
+            all_codes.append(vbits)
+            all_lens.append(sv)
+            all_keys.append(gb * KEYMAX + (pos + 1) * 8 + 6)
+        # ---- EOB where the last AC (pos 62) is zero ----
+        needs_eob = ~mask[:, 62]
+        eob_gb = g_block[np.flatnonzero(needs_eob)]
+        if len(eob_gb):
+            ec, el = ac_tabs[t][0x00]
+            all_codes.append(np.full(len(eob_gb), ec, dtype=np.int64))
+            all_lens.append(np.full(len(eob_gb), el, dtype=np.int64))
+            all_keys.append(eob_gb * KEYMAX + 64 * 8)
+    codes = np.concatenate(all_codes)
+    lens = np.concatenate(all_lens)
+    keys = np.concatenate(all_keys)
+    nz = lens > 0
+    order = np.argsort(keys[nz], kind="stable")
+    bw = _SymbolSink()
+    bw.codes = codes[nz][order].tolist()
+    bw.lens = lens[nz][order].tolist()
+    return bw
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -427,6 +550,21 @@ def encode_jpeg(
             segments.append(bw.pack())
             sos = bytes([1, ci + 1, (t << 4) | t, 0, 63, 0])
             scans_out.append((sos, pack_segments(segments)))
+    elif not restart_interval:
+        # fast path (r7): the whole interleaved scan's symbols are
+        # computed vectorized — bit-identical to the MCU walk below
+        # (A/B-pinned by test_jpeg), which remains for restart scans
+        segments = [
+            _encode_scan_vec(
+                quantized, factors, bw_mcu, bh_mcu, dc_tabs, ac_tabs
+            ).pack()
+        ]
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        scans_out.append((sos, pack_segments(segments)))
     else:
         bw = _SymbolSink()
         prev = [0] * len(planes)

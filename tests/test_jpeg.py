@@ -639,3 +639,31 @@ def test_12bit_dc_diff_guard():
     # a merely-contrasty smooth image still encodes at the same quality
     ok = _smooth12()
     decode_jpeg(encode_jpeg(ok, quality=95, precision=12))
+
+
+def test_vectorized_scan_matches_block_walk():
+    """r7 fast path: the vectorized whole-scan symbol generation must
+    be bit-identical to the per-block MCU walk (forced via a DRI the
+    image never reaches), across sizes, qualities, gray, subsampling,
+    and 12-bit precision."""
+    rng = np.random.default_rng(20260818)
+    cases = []
+    for _ in range(12):
+        h, w = int(rng.integers(8, 65)), int(rng.integers(8, 65))
+        cases.append((rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                      dict(quality=int(rng.integers(50, 99)))))
+    cases.append((rng.integers(0, 256, (24, 24), dtype=np.uint8), {}))
+    cases.append((rng.integers(0, 256, (31, 29, 3), dtype=np.uint8),
+                  dict(subsampling="420")))
+    cases.append((rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+                  dict(subsampling="422")))
+    yy, xx = np.mgrid[0:16, 0:24]
+    tw12 = (np.stack([yy * 37 + xx * 11, yy * 5 + xx * 29,
+                      yy * 17 + xx * 3], -1) % 4096).astype(np.uint16)
+    cases.append((tw12, dict(precision=12, quality=92)))
+    for arr, kw in cases:
+        fast = encode_jpeg(arr, **kw)
+        walk = encode_jpeg(arr, restart_interval=65535, **kw)
+        i = walk.find(b"\xff\xdd")
+        assert i >= 0
+        assert fast == walk[:i] + walk[i + 6:], kw
