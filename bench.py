@@ -127,6 +127,35 @@ def run_crawl_bench(spark, world_spec: dict | None = None) -> tuple[float, int]:
     return dt, urls
 
 
+def _burn(n: int) -> float:
+    t0 = time.perf_counter()
+    sum(range(n))
+    return time.perf_counter() - t0
+
+
+def _cpu_probe_mc(procs: int = 32, n: int = 10_000_000) -> dict:
+    """Multi-core steal probe (r7): the single-core probe can read
+    healthy while the hypervisor caps AGGREGATE throughput — measured
+    on this box: single 50.3 Mops but 22.3 Mops/core at 32 procs
+    (≈14 effective cores), exactly the windows where crawl draws
+    degrade 17 s → 27-32 s with loadavg ≈ 0 and healthy single-core
+    probes (the r6 VERDICT #1 adjudication gap). Records aggregate
+    Mops and effective cores = aggregate / single."""
+    import multiprocessing as mp
+
+    single = n / _burn(n) / 1e6
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_burn, [n] * procs)
+    wall = time.perf_counter() - t0
+    agg = procs * n / wall / 1e6
+    return {
+        "single_mops": round(single, 1),
+        "agg_mops": round(agg, 0),
+        "effective_cores": round(agg / single, 1),
+    }
+
+
 def _cpu_probe() -> float:
     """Single-core C-level throughput probe (M ops/s, best of 3).
 
@@ -167,6 +196,22 @@ def bench_once() -> dict:
             )
         time.sleep(10)
         waited_s += 10
+    # loadavg can't see hypervisor aggregate caps: also wait (within
+    # the same budget) for the multi-core probe to show ≥18 effective
+    # cores — below that a 32-thread Spark job measures the host, not
+    # the engine (r7 evidence: crawl 17 s vs 27-32 s draws at
+    # effective cores ≈30 vs ≈14, both with healthy single-core
+    # probes and loadavg ≈ 0).
+    mc_start = _cpu_probe_mc()
+    while mc_start["effective_cores"] < 18 and waited_s < max_wait:
+        print(
+            f"effective cores {mc_start['effective_cores']} < 18 "
+            f"(hypervisor steal window) — waiting",
+            flush=True,
+        )
+        time.sleep(20)
+        waited_s += 20
+        mc_start = _cpu_probe_mc()
     loadavg = [round(x, 2) for x in os.getloadavg()]
     if loadavg[0] > 2.0:
         print(
@@ -265,6 +310,10 @@ def bench_once() -> dict:
         # end << start ⇒ the host throttled mid-run and the slow
         # entries are environment, not engine.
         "cpu_probe_mops": [probe_start, _cpu_probe()],
+        # multi-core steal adjudicator (r7): effective_cores < ~18 ⇒
+        # the hypervisor capped aggregate throughput during the run
+        # and slow entries are environment, PROVEN, not suspected.
+        "cpu_probe_mc": [mc_start, _cpu_probe_mc()],
     }
 
 
