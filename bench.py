@@ -197,15 +197,17 @@ def bench_once() -> dict:
         time.sleep(10)
         waited_s += 10
     # loadavg can't see hypervisor aggregate caps: also wait (within
-    # the same budget) for the multi-core probe to show ≥18 effective
+    # the same budget) for the multi-core probe to show ≥14 effective
     # cores — below that a 32-thread Spark job measures the host, not
-    # the engine (r7 evidence: crawl 17 s vs 27-32 s draws at
-    # effective cores ≈30 vs ≈14, both with healthy single-core
-    # probes and loadavg ≈ 0).
+    # the engine. Calibration (r7): this box routinely hovers at
+    # 15-17 effective cores and the post-r7 engine runs the crawl in
+    # ~14-15 s there (13.90 s / 536 urls/s measured at ~16); the
+    # 27-32 s pathology appeared below ~14. Requiring more would just
+    # burn the wait budget on a level the box rarely grants.
     mc_start = _cpu_probe_mc()
-    while mc_start["effective_cores"] < 18 and waited_s < max_wait:
+    while mc_start["effective_cores"] < 14 and waited_s < max_wait:
         print(
-            f"effective cores {mc_start['effective_cores']} < 18 "
+            f"effective cores {mc_start['effective_cores']} < 14 "
             f"(hypervisor steal window) — waiting",
             flush=True,
         )
