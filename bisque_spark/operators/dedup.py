@@ -19,6 +19,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -162,6 +164,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     attach_sigs: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """Signature table → distinct candidate pairs (id_a < id_b).
 
@@ -191,12 +194,16 @@ def lsh_candidate_pairs(
     ).select(id_col, "bh.band", "bh.band_hash")
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # shuffled-hash: the banded sides are narrow (id, band, hash) and a
+    # per-partition hash build is far cheaper than sorting both sides —
+    # SMJ's sorts were ~1/3 of the candidate stage (guide §3.1)
     pairs = (
-        left.join(right, on=["band", "band_hash"])
+        left.hint("shuffle_hash").join(right, on=["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if dedup:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     if not attach_sigs:
         return pairs
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
@@ -212,6 +219,115 @@ def minhash_similarity_col() -> F.Column:
         lambda acc, v: acc + v,
     )
     return matches / F.size("sig_a")
+
+
+def _verify_pairs_grid(
+    sigs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs → (id_a, id_b, est_jaccard ≥ t).
+
+    Guide-§8 shape: the decision join carried ids only; here the heavy
+    signatures are attached by CO-LOCATION, not by id-equi-joins. Pairs
+    are hashed onto a g×g grid cell by (h(id_a) mod g, h(id_b) mod g);
+    each signature is replicated to its 2g−1 row/column cells (JVM-side
+    explode — no Python hash parity needed) and one cogroup evaluates
+    every cell with a single vectorized numpy equality count. Transport
+    is O(n·2g) signature copies instead of O(candidates) — at 50k docs
+    / 13.7M candidates that is ~0.9 GB instead of ~21 GB — and the
+    per-pair 192-element interpreted JVM fold becomes
+    (M[ia] == M[ib]).sum(axis=1). est values are bit-identical
+    (integer match count / signature width, same IEEE division).
+
+    Candidate rows may arrive with duplicates (the banded join emits
+    one row per colliding band); the cell is a pure function of the
+    pair, so duplicates land in the same cell and are dropped there —
+    cheaper than a cluster-wide dropDuplicates over the explosion."""
+    import numpy as np
+
+    spark = sigs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # grid g×g: transport grows ~2g sig copies, task balance improves
+    # with cell count; 2·par cells (g = ceil(sqrt(2·par))) measured
+    # best on 32 cores (g=6's 36-on-32 quantization left a 2-cell tail)
+    g = max(2, int(math.isqrt(max(1, 2 * par - 1)) + 1))
+    id_type = sigs.schema[id_col].dataType.simpleString()
+    thresh = float(threshold)
+
+    cells = cand.withColumn(
+        "cell",
+        (
+            F.pmod(F.xxhash64(F.col("id_a")), F.lit(g)) * g
+            + F.pmod(F.xxhash64(F.col("id_b")), F.lit(g))
+        ).cast("int"),
+    )
+    r = F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int")
+    rowcells = F.transform(
+        F.sequence(F.lit(0), F.lit(g - 1)), lambda c: F.col("__r") * g + c
+    )
+    colcells = F.transform(
+        F.sequence(F.lit(0), F.lit(g - 1)), lambda q: q * g + F.col("__r")
+    )
+    rep = (
+        sigs.withColumn("__r", r)
+        .select(
+            id_col,
+            "sig",
+            F.explode(F.array_distinct(F.concat(rowcells, colcells))).alias(
+                "cell"
+            ),
+        )
+        .withColumn("cell", F.col("cell").cast("int"))
+    )
+
+    def verify(pairs_pdf: pd.DataFrame, sigs_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "est_jaccard": pd.Series([], dtype="float64")}
+        )
+        if not len(pairs_pdf) or not len(sigs_pdf):
+            return empty
+        pairs_pdf = pairs_pdf.drop_duplicates(subset=["id_a", "id_b"])
+        M = np.stack(sigs_pdf["sig"].to_numpy())
+        pos = pd.Series(
+            np.arange(len(sigs_pdf)), index=sigs_pdf[id_col].to_numpy()
+        )
+        ia = pos.reindex(pairs_pdf["id_a"].to_numpy()).to_numpy().astype(np.int64)
+        ib = pos.reindex(pairs_pdf["id_b"].to_numpy()).to_numpy().astype(np.int64)
+        # chunked gather+compare: a flat M[ia] over millions of pairs
+        # materializes pairs×width int64 slabs (~0.7 GB per side per
+        # cell) and 32 concurrent workers thrash the box; 16k-pair
+        # chunks keep the per-worker working set ~50 MB for the same
+        # flop count
+        n_p = len(ia)
+        est = np.empty(n_p, dtype=np.float64)
+        width = M.shape[1]
+        step = 16384
+        for s in range(0, n_p, step):
+            e = min(s + step, n_p)
+            est[s:e] = (M[ia[s:e]] == M[ib[s:e]]).sum(
+                axis=1, dtype=np.int64
+            ) / width
+        sel = est >= thresh
+        if not sel.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pairs_pdf["id_a"].to_numpy()[sel],
+                "id_b": pairs_pdf["id_b"].to_numpy()[sel],
+                "est_jaccard": est[sel],
+            }
+        )
+
+    return (
+        cells.groupBy("cell")
+        .cogroup(rep.groupBy("cell"))
+        .applyInPandas(
+            verify,
+            schema=f"id_a {id_type}, id_b {id_type}, est_jaccard double",
+        )
+    )
 
 
 def minhash_dedup_pairs(
@@ -233,9 +349,17 @@ def minhash_dedup_pairs(
     one admits quadratic junk. Explicit ``n_hashes``/``bands`` override
     the tuning.
 
-    Signatures are pinned across the LSH self-join — otherwise the
-    signature UDF runs twice (once per join side); released by the
-    consumer via util.release_caches (caller-owns-cache contract)."""
+    Verification runs in the co-located grid (_verify_pairs_grid) —
+    the r7 form attached full signatures to every candidate pair by two
+    id-equi-joins (O(candidates) signature copies through a shuffle)
+    and folded 192 elements per pair in interpreted JVM expressions;
+    measured at sf1.0 (50k docs, 13.7M candidates) that was ~21 GB of
+    attach shuffle and the entry's dominant term (r8).
+
+    Signatures are pinned across the LSH self-join and the grid
+    replication — otherwise the signature UDF runs three times;
+    released by the consumer via util.release_caches (caller-owns-cache
+    contract)."""
     from bisque_spark.util import pin
 
     if bands is None and n_hashes is None:
@@ -246,12 +370,10 @@ def minhash_dedup_pairs(
         n_hashes = n_hashes or 64
         rows_per_band = n_hashes // bands
     sigs = pin(minhash_signatures(df, id_col, text_col, n_hashes=n_hashes))
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    return (
-        pairs.withColumn("est_jaccard", minhash_similarity_col())
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    cand = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band, attach_sigs=False, dedup=False
     )
+    return _verify_pairs_grid(sigs, cand, id_col, threshold)
 
 
 def simhash_dedup_pairs(
