@@ -64,9 +64,13 @@ def _q_doc_exact_dedup(spark, sf_dir):
 
 def _q_doc_token_stats(spark, sf_dir):
     from bisque_spark.functions.text import quality_cols
+    from bisque_spark.util import spread
 
+    # spread(): the documents parquet is 1-2 splits even at sf1.0, so
+    # the regex-heavy quality expressions otherwise run on ≤2 cores
+    # (measured 1.9 s → 0.45 s at sf1.0, r8)
     q = quality_cols("text")
-    return _load(spark, sf_dir, "documents").select(
+    return spread(_load(spark, sf_dir, "documents")).select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
         F.round(q["punct_ratio"], 6).alias("punct_ratio"),
@@ -415,6 +419,7 @@ def _q_extract_captions(spark, sf_dir):
     (_extract_captions_oracle_sql); tests/test_extract.py pins the
     same chain over the crawl corpus."""
     from bisque_spark.operators.extract import EXTRACT_SCHEMA, extract_batches
+    from bisque_spark.util import spread
 
     docs = _load(spark, sf_dir, "documents")
     pages = docs.select(
@@ -429,7 +434,11 @@ def _q_extract_captions(spark, sf_dir):
             "utf-8",
         ).alias("content"),
     )
-    extracted = pages.mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
+    # spread() before the Arrow stage: the documents parquet is a
+    # single split even at sf1.0 (~6 MB), so without it ONE task pays
+    # the whole 50k-doc parse (measured 9.4 s; 32-way it is ~1 s) —
+    # the CLAUDE.md small-parquet gotcha, missed here until r8
+    extracted = spread(pages).mapInPandas(extract_batches, schema=EXTRACT_SCHEMA)
     return extracted.select(
         "url", F.explode("images").alias("img")
     ).select("url", "img.image_id", "img.caption")

@@ -470,15 +470,16 @@ def run_crawl(
         )
         new_hashes = new_urls.select("url_hash")
 
-        # warm the persisted chain with ONE action: next_frontier's two
-        # branches cover everything — the deferred politeness window AND
-        # new_urls (cogroup → extracted → scheduled) — at full
-        # parallelism; the junction's slices then read caches instead of
-        # racing to populate them and re-running the fetch UDF
-        # (_SKIP_WARM is an A/B probe: Spark's BlockManager takes a
+        # NO separate warm action (r8): the junction write job itself
+        # populates the persisted chain — Spark's BlockManager takes a
         # per-block write lock in getOrElseUpdate, so concurrent slice
-        # tasks should serialize on the cache, not recompute)
-        if not globals().get("_SKIP_WARM"):
+        # tasks serialize on the cache instead of recomputing it (the
+        # r7 A/B probe, now the default: the dedicated warm count was
+        # ~2 s/epoch of serial driver+action latency and the junction
+        # job absorbs the same work for ~1 s — measured 14.7 → 13.0 s
+        # on the bench world). _FORCE_WARM restores the old two-action
+        # shape for A/B.
+        if globals().get("_FORCE_WARM"):
             next_frontier.count()
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
@@ -508,7 +509,7 @@ def run_crawl(
         # file metadata pressure on the object store). Coalesce each to
         # a core-proportional handful; images keeps full parallelism
         # (it carries the bytes and the materialize UDF).
-        small = max(4, spark.sparkContext.defaultParallelism // 8)
+        small = max(4, spark.sparkContext.defaultParallelism // 4)
         # link-graph slice: (src url_hash → dst_hash) straight off the
         # cached fetch+extract output — the raw observed graph (before
         # robots/dedup), which is what link-authority ranking consumes
