@@ -74,12 +74,16 @@ def parse_mp4(data: bytes) -> dict:
         hdlr = _find(data, body, box_end, [b"mdia", b"hdlr"])
         if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
-        # dims from tkhd (16.16 fixed point, v0 layout)
+        # dims from tkhd (16.16 fixed point); version 1 uses 64-bit
+        # times, shifting width/height by +12 — reading the v0 offsets
+        # there yields garbage nonzero dims that also defeat the stsd
+        # fallback (ADVICE r7 #4), mirroring the mdhd version handling
         tkhd = _find(data, body, box_end, [b"tkhd"])
         if tkhd is not None:
             t = data[tkhd[0] : tkhd[1]]
-            meta["w"] = int.from_bytes(t[76:80], "big") >> 16
-            meta["h"] = int.from_bytes(t[80:84], "big") >> 16
+            off = 76 if (len(t) > 0 and t[0] == 0) else 88
+            meta["w"] = int.from_bytes(t[off : off + 4], "big") >> 16
+            meta["h"] = int.from_bytes(t[off + 4 : off + 8], "big") >> 16
         mdhd = _find(data, body, box_end, [b"mdia", b"mdhd"])
         timescale = None
         if mdhd is not None:

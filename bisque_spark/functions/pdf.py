@@ -35,6 +35,11 @@ from __future__ import annotations
 import re
 import zlib
 
+# cap on any single FlateDecode output (hostile zlib bombs reach
+# ~1000:1; the executor process, not the row, dies on an unbounded
+# inflate)
+_MAX_INFLATE = 64 * 1024 * 1024
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -343,7 +348,17 @@ class PdfDocument:
     # -- objects ----------------------------------------------------------
 
     def resolve(self, obj):
+        # bounded: a hostile `1 0 obj 2 0 R` <-> `2 0 obj 1 0 R` (or
+        # self-ref) chain would otherwise spin forever — get_object
+        # caches the Ref object itself, so the isinstance loop never
+        # terminates (ADVICE r7 #1). A legitimate chain can't be longer
+        # than the number of objects in the file.
+        hops = 0
+        limit = len(self.offsets) + 1
         while isinstance(obj, Ref):
+            hops += 1
+            if hops > limit:
+                raise ValueError("cyclic indirect reference chain")
             obj = self.get_object(obj.num)
         return obj
 
@@ -395,7 +410,15 @@ class PdfDocument:
         for f in filters:
             f = self.resolve(f)
             if f == "FlateDecode":
-                body = zlib.decompress(body)
+                # bounded inflate: a kilobyte-scale hostile stream at
+                # ~1000:1 can inflate to GBs and OOM-kill the executor
+                # process — outside per-row try/except containment
+                # (ADVICE r7 #3). 64 MB is far beyond any legitimate
+                # content stream this reader handles.
+                dec = zlib.decompressobj()
+                body = dec.decompress(body, _MAX_INFLATE)
+                if dec.unconsumed_tail:
+                    raise ValueError("FlateDecode output exceeds 64 MB cap")
                 parms = self.resolve(sdict.get("DecodeParms")) or {}
                 if isinstance(parms, list):
                     parms = self.resolve(parms[0]) or {}

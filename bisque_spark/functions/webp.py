@@ -423,6 +423,18 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.uint16) + b.astype(np.uint16)) >> 1
 
 
+# Hard bound on predictor-transform inversion: the inverse is an
+# inherently row-sequential per-pixel Python loop (~10 µs/px), so a
+# few-hundred-byte hostile stream declaring e.g. 8000×8000 with a
+# predictor transform would spin an executor for tens of minutes
+# (ADVICE r7 #2 — the parse_avi DoS class). 65536 px (256×256) keeps
+# the worst hostile row sub-second while covering every crawl/synth
+# image (≤ 64×64) by 16×; larger predictor-transformed images raise
+# and route to the per-row error column like every other unsupported
+# codec shape.
+_MAX_PREDICTOR_PIXELS = 65536
+
+
 def _inv_predictor(
     argb: np.ndarray, w: int, h: int, bits: int, data: np.ndarray
 ) -> np.ndarray:
@@ -430,6 +442,11 @@ def _inv_predictor(
     each pixel needs its decoded neighbors (L, T, TL, TR in the linear
     buffer — TR at the right edge wraps to the next row's first pixel,
     the libwebp linear-buffer semantics)."""
+    if w * h > _MAX_PREDICTOR_PIXELS:
+        raise ValueError(
+            f"predictor transform over {w}x{h} px exceeds the "
+            f"{_MAX_PREDICTOR_PIXELS}-px containment bound"
+        )
     bw = _subsample_size(w, bits)
     modes = ((data >> 8) & 0xFF).astype(np.int64)
     px = argb.view(np.uint8).reshape(h, w, 4).astype(np.int32)  # B,G,R,A LE

@@ -358,7 +358,11 @@ def decode_image(row_bytes: bytes, fmt: str) -> bytes:
     if fmt == "webp":
         from bisque_spark.functions.webp import decode_webp
 
-        return decode_webp(bytes(row_bytes)).tobytes()
+        # crawl-facing bound (ADVICE r7 #2): synth/crawl images are
+        # ≤ 64×64; 4M px caps a hostile header's buffer allocations
+        # while the predictor transform carries its own tighter
+        # sub-second bound inside the decoder
+        return decode_webp(bytes(row_bytes), max_pixels=1 << 22).tobytes()
     raise NotImplementedError(f"decoder for fmt={fmt!r} not available in sandbox")
 
 

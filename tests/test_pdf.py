@@ -231,3 +231,63 @@ def test_pdf_text_extract_operator(spark):
     ok = pdf_text_extract(df).where(F.col("error").isNull())
     counted = ok.select(token_count_col(F.col("text")).alias("n")).collect()
     assert all(r["n"] > 0 for r in counted)
+
+
+def test_cyclic_indirect_refs_contained_fast():
+    """ADVICE r7 #1: `1 0 obj 2 0 R` <-> `2 0 obj 1 0 R` (and a
+    self-ref Root) must raise sub-second, not spin resolve() forever —
+    the per-walker hostile containment rule."""
+    import time
+
+    def build(body_objs: list[bytes], root_ref: bytes) -> bytes:
+        head = b"%PDF-1.4\n"
+        out = bytearray(head)
+        offsets = []
+        for ob in body_objs:
+            offsets.append(len(out))
+            out += ob
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(body_objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root " % (len(body_objs) + 1)
+            + root_ref
+            + b" >>\nstartxref\n%d\n%%%%EOF" % xref_at
+        )
+        return bytes(out)
+
+    cyc = build(
+        [b"1 0 obj\n2 0 R\nendobj\n", b"2 0 obj\n1 0 R\nendobj\n"],
+        b"1 0 R",
+    )
+    selfref = build([b"1 0 obj\n1 0 R\nendobj\n"], b"1 0 R")
+    for hostile in (cyc, selfref):
+        t0 = time.perf_counter()
+        with pytest.raises(Exception):
+            pdf_text(hostile)
+        assert time.perf_counter() - t0 < 1.0
+
+
+def test_zlib_bomb_contained():
+    """ADVICE r7 #3: a ~1000:1 FlateDecode stream must raise at the
+    64 MB inflate cap instead of OOM-killing the worker process."""
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)  # ~200 MB
+    body = (
+        b"1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(bomb)
+        + bomb
+        + b"\nendstream\nendobj\n"
+    )
+    head = b"%PDF-1.4\n"
+    out = bytearray(head + body)
+    xref_at = len(out)
+    out += b"xref\n0 2\n0000000000 65535 f \n"
+    out += b"%010d 00000 n \n" % len(head)
+    out += (
+        b"trailer\n<< /Size 2 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xref_at
+    )
+    with pytest.raises(Exception):
+        pdf_text(bytes(out))

@@ -322,3 +322,50 @@ def test_mp4_clips_flow_through_spark_operator(spark):
         assert got[m]["n_frames"] == clips[m]["n_frames"]
         assert len(got[m]["frames"]) >= 1
     assert got["clip-avc1"]["error"] == "codec_unavailable:avc1"
+
+
+def test_mp4_tkhd_version1_dims():
+    """ADVICE r7 #4: a version-1 tkhd (64-bit times) shifts
+    width/height by +12 bytes; reading the v0 offsets yields garbage
+    nonzero dims that also defeat the stsd fallback."""
+    import struct
+
+    import numpy as np
+
+    from bisque_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    frames = [
+        ((np.mgrid[0:20, 0:28][0] * 7 + t * 11) % 256)
+        .astype(np.uint8)[..., None]
+        .repeat(3, axis=2)
+        for t in range(2)
+    ]
+    data = encode_mp4(frames, fps=10.0, quality=95)
+    m0 = parse_mp4(data)
+    assert (m0["w"], m0["h"]) == (28, 20)
+
+    # rebuild the tkhd as version 1: 64-bit creation/modification/
+    # duration, same track id / matrix / dims
+    i = data.find(b"tkhd")
+    assert i > 0
+    size = struct.unpack(">I", data[i - 4 : i])[0]
+    old = data[i + 4 : i - 4 + size]  # payload incl. version+flags
+    duration = struct.unpack(">I", old[20:24])[0]
+    v1 = (
+        b"\x01\x00\x00\x03"
+        + struct.pack(">QQI", 0, 0, 1)
+        + b"\x00" * 4
+        + struct.pack(">Q", duration)
+        + old[24:]  # reserved/layer/volume + matrix + w/h unchanged
+    )
+    v1box = struct.pack(">I", len(v1) + 8) + b"tkhd" + v1
+    patched = bytearray(data)
+    patched[i - 4 : i - 4 + size] = v1box
+    # fix enclosing box sizes (trak, moov) for the +12 growth
+    grow = len(v1box) - size
+    for tag in (b"trak", b"moov"):
+        j = bytes(patched).find(tag)
+        old_sz = struct.unpack(">I", bytes(patched[j - 4 : j]))[0]
+        patched[j - 4 : j] = struct.pack(">I", old_sz + grow)
+    m1 = parse_mp4(bytes(patched))
+    assert (m1["w"], m1["h"]) == (28, 20)

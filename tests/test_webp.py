@@ -383,3 +383,35 @@ def test_lossless_is_lossless_psnr_inf():
     assert (
         decode_webp(encode_webp_lossless(img, subtract_green=True)) == img
     ).all()
+
+
+def test_hostile_dimensions_contained_fast():
+    """ADVICE r7 #2: the predictor inverse is a per-pixel Python loop,
+    so hostile declared dimensions must be rejected in O(1), not walked
+    for minutes — both at the crawl-facing cap and at the predictor's
+    own sub-second bound."""
+    import struct
+    import time
+
+    from bisque_spark.functions.webp import _inv_predictor
+
+    # direct: predictor transform over 8000x8000 px raises immediately
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        _inv_predictor(
+            np.zeros(8000 * 8000, dtype=np.uint32), 8000, 8000, 4,
+            np.zeros(1, dtype=np.uint32),
+        )
+    assert time.perf_counter() - t0 < 1.0
+
+    # container-level: a VP8L header declaring 3000x3000 trips the
+    # crawl dispatcher's 4M-pixel cap before any buffer is allocated
+    bits = (2999) | (2999 << 14) | (0 << 28) | (0 << 29)
+    hdr = bytes([0x2F]) + bits.to_bytes(5, "little")
+    payload = hdr + b"\x00" * 16
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    t0 = time.perf_counter()
+    with pytest.raises((ValueError, NotImplementedError, IndexError, KeyError)):
+        decode_webp(data, max_pixels=1 << 22)
+    assert time.perf_counter() - t0 < 1.0
