@@ -119,6 +119,8 @@ def _minhash_series(texts, a, b, shingle_k):
     empty = np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64)
     weights = 256 ** np.arange(shingle_k, dtype=np.uint64)
     pad = np.zeros(8, dtype=np.uint8)
+    m61 = np.uint64(_MERSENNE61)
+    shift = np.uint64(61)
     for t in texts:
         if not t:
             out.append(empty.tolist())
@@ -128,8 +130,14 @@ def _minhash_series(texts, a, b, shingle_k):
             data = np.concatenate([data, pad[: shingle_k - len(data)]])
         win = np.lib.stride_tricks.sliding_window_view(data, shingle_k)
         keys = np.unique(win.astype(np.uint64) @ weights)
-        vals = (keys[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
-        out.append(vals.min(axis=0).astype(np.int64).tolist())
+        x = keys[:, None] * a[None, :] + b[None, :]
+        # exact Mersenne reduction: 2^61 ≡ 1 (mod M61), so for any
+        # x < 2^64, x mod M61 = (x>>61) + (x & M61) with at most one
+        # conditional subtract ((x>>61) ≤ 7) — identical values to the
+        # former `% M61`, without the vectorized 64-bit division
+        x = (x >> shift) + (x & m61)
+        x = np.where(x >= m61, x - m61, x)
+        out.append(x.min(axis=0).astype(np.int64).tolist())
     return pd.Series(out)
 
 

@@ -377,6 +377,15 @@ def run_crawl(
         frontier_on_disk = _junction_path(workdir, start_epoch - 1, "frontier")
 
     _tick("seed writes (pre-loop)", t_pre)
+    # deferred epoch finalizers (observational-slice join + _COMMIT):
+    # at most one is ever pending — epoch N's is joined at the top of
+    # epoch N+1's commit section or at loop exit
+    pending_finalize: list = []
+
+    def _join_pending() -> None:
+        while pending_finalize:
+            pending_finalize.pop(0)()
+
     epoch = start_epoch
     while epoch < max_epochs and frontier is not None:
         t = time.time()
@@ -484,12 +493,24 @@ def run_crawl(
         t = _tick("fetch+extract+dedup (cache warm)", t)
 
         # ---- commit epoch state ------------------------------------------
-        # ONE junction write job carries all seven per-epoch slices —
-        # frontier + order log + seen delta + images + bloom shard
-        # delta + link-graph edges + the lineage counters (a global-agg
-        # slice computed in the same job — no separate .first() job).
-        # The _COMMIT marker is only written after the write returns —
-        # epoch-commit atomicity unchanged.
+        # Two write jobs per epoch (r8): the STATE slices the next
+        # epoch reads (frontier + seen delta + bloom shard delta +
+        # lineage counters) commit synchronously; the OBSERVATIONAL
+        # slices (order log + images + link graph) write to a per-epoch
+        # junction_tmp/ from a background driver thread (guide §2.6)
+        # whose join — and hence this epoch's _COMMIT marker — is
+        # deferred until the NEXT epoch's commit section, so the images
+        # synth+write overlaps the next epoch's frontier compute
+        # instead of serializing behind it. At join the tmp table dirs
+        # are renamed into junction/ (driver-local os.replace), keeping
+        # the committed layout byte-identical to the one-job form.
+        # Crash-atomicity is unchanged: _COMMIT is only ever written
+        # after BOTH jobs of its epoch are durable, and a crash with a
+        # deferred join resumes from the previous marker and redoes the
+        # whole epoch with overwrite semantics.
+        # join the previous epoch's observational write first — it has
+        # had a full epoch of overlap; never two background jobs at once
+        _join_pending()
         d = _epoch_dir(workdir, epoch)
         lineage_row = extracted.agg(
             F.count(F.lit(1)).alias("n_scheduled"),
@@ -521,19 +542,59 @@ def run_crawl(
             .withColumn("dst_hash", F.xxhash64("__dst"))
             .select("url_hash", "dst_hash")
         )
-        junction = (
-            _junction_slice(next_frontier.coalesce(small), "frontier")
-            .unionByName(_junction_slice(order_log.coalesce(small), "order"))
-            .unionByName(_junction_slice(new_hashes.coalesce(small), "seen"))
+        junction_obs = (
+            _junction_slice(order_log.coalesce(small), "order")
             .unionByName(_junction_slice(images, "images"))
-            .unionByName(_junction_slice(shard_delta.coalesce(small), "shards"))
             .unionByName(_junction_slice(edges.coalesce(small), "links"))
+        )
+        obs_tmp = os.path.join(d, "junction_tmp")
+        obs_err: list[BaseException] = []
+
+        def _write_obs():
+            try:
+                junction_obs.write.mode("overwrite").partitionBy(
+                    "table"
+                ).parquet(obs_tmp)
+            except BaseException as exc:  # noqa: BLE001 — re-raised at join
+                obs_err.append(exc)
+
+        from pyspark import InheritableThread
+
+        obs_thread = InheritableThread(target=_write_obs)
+        obs_thread.start()
+
+        junction_state = (
+            _junction_slice(next_frontier.coalesce(small), "frontier")
+            .unionByName(_junction_slice(new_hashes.coalesce(small), "seen"))
+            .unionByName(_junction_slice(shard_delta.coalesce(small), "shards"))
             .unionByName(_junction_slice(lineage_row, "lineage"))
         )
-        junction.write.mode("overwrite").partitionBy("table").parquet(
+        junction_state.write.mode("overwrite").partitionBy("table").parquet(
             os.path.join(d, "junction")
         )
-        t = _tick("junction write (7 slices, 1 job)", t)
+        t = _tick("junction state write (4 slices)", t)
+
+        epoch_caches = [scheduled, extracted, new_urls, next_frontier]
+
+        def _finalize(dd=d, tmp=obs_tmp, th=obs_thread, err=obs_err,
+                      caches=epoch_caches, ep=epoch):
+            th.join()
+            if err:
+                raise err[0]
+            for tname in ("order", "images", "links"):
+                src = os.path.join(tmp, f"table={tname}")
+                if os.path.exists(src):
+                    os.replace(
+                        src, os.path.join(dd, "junction", f"table={tname}")
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+            with open(os.path.join(dd, "_COMMIT"), "w") as f:
+                f.write("ok")
+            for c in caches:
+                c.unpersist()
+            _tick(f"obs join + _COMMIT (epoch {ep})", time.time())
+
+        pending_finalize.append(_finalize)
 
         # periodic state compaction: collapse the delta chains into one
         # base so the read-side union width stays bounded (a 10^4-epoch
@@ -572,12 +633,7 @@ def run_crawl(
         }
         with open(os.path.join(d, "lineage.json"), "w") as f:
             json.dump(lineage, f)
-        with open(os.path.join(d, "_COMMIT"), "w") as f:
-            f.write("ok")
-        scheduled.unpersist()
-        extracted.unpersist()
-        new_urls.unpersist()
-        next_frontier.unpersist()
+        # _COMMIT + cache release happen in _finalize (deferred above)
 
         # read the committed state back: cuts lineage growth across the
         # iterative loop and makes resume = continue exactly
@@ -593,6 +649,7 @@ def run_crawl(
         shards = _read_shard_union(spark, workdir, epoch)
         epoch += 1
 
+    _join_pending()
     robots.unpersist()
     return {
         "workdir": workdir,
