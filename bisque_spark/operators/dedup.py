@@ -358,11 +358,13 @@ def minhash_dedup_pairs(
     the tuning.
 
     Verification runs in the co-located grid (_verify_pairs_grid) —
-    the r7 form attached full signatures to every candidate pair by two
-    id-equi-joins (O(candidates) signature copies through a shuffle)
-    and folded 192 elements per pair in interpreted JVM expressions;
-    measured at sf1.0 (50k docs, 13.7M candidates) that was ~21 GB of
-    attach shuffle and the entry's dominant term (r8).
+    the r7 form attached full signatures to every candidate pair by
+    two id-equi-joins (probe output materializes 2×192 longs per
+    candidate row; broadcast at sandbox scale, an O(candidates)-payload
+    shuffle at corpus scale) and folded 192 elements per pair in
+    interpreted JVM expressions; at sf1.0 (50k docs, 13.7M candidates)
+    the dedup aggregate + attach + fold were the entry's dominant term
+    (r8).
 
     Signatures are pinned across the LSH self-join and the grid
     replication — otherwise the signature UDF runs three times;

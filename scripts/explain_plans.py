@@ -48,6 +48,11 @@ CHECKS = {
     "minhash_near_dups": [
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "LSH equi-join planned"),
         ("InMemoryTableScan|TableCacheQueryStage", "signatures cached across self-join"),
+        (
+            "FlatMapCoGroupsInPandas",
+            "est verify co-located on the pair grid (r8: signatures "
+            "travel O(n·2g), never per-candidate)",
+        ),
     ],
     "crawl_epoch_schedule": [
         ("BroadcastHashJoin", "robots join broadcast"),
@@ -62,16 +67,21 @@ CHECKS = {
     ],
     "lsh_embedding_pairs": [
         (
-            "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-            "multi-table candidate join is ONE equi-join on the table-"
-            "tagged bucket key (never a cross join)",
+            r"hashpartitioning\(tkey",
+            "ONE shuffle on the table-tagged bucket key (never a "
+            "cross join)",
         ),
         (
-            "InMemoryTableScan|TableCacheQueryStage",
-            "bucket keys cached across the self-join (hyperplane UDF "
-            "runs once)",
+            "MapInPandas",
+            "bucket-grouped numpy GEMM verify (r8: candidate pairs "
+            "never materialize as join rows; only survivors are "
+            "emitted)",
         ),
         ("!BroadcastNestedLoopJoin", "no all-pairs fallback"),
+        (
+            "!SortMergeJoin",
+            "no per-candidate vector-attach joins (r8)",
+        ),
     ],
     "emb_ivf_topk": [
         ("TakeOrderedAndProject", "top-k as ordered-take, not full sort"),
