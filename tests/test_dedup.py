@@ -293,3 +293,52 @@ def test_ngram_pruned_recall_vs_exact(spark):
     recall = sum(1 for k in exact if k in pruned) / len(exact)
     assert recall >= 0.9, f"pruned recall {recall:.3f} < 0.9 vs exact"
     assert pruned <= set(exact)  # verify step keeps precision exact
+
+
+def test_minhash_grid_verify_equals_banding_twin(spark):
+    """r8 internals: the grid-cogroup verify (ids-only candidates
+    co-located with replicated signatures on a hash grid) must emit
+    exactly the any-band-collision pairs with est >= threshold, est
+    computed as the integer match count over the signature width —
+    pinned against a driver-side banding twin."""
+    import numpy as np
+    import pandas as pd
+
+    from bisque_spark.operators.dedup import (
+        _minhash_params,
+        _minhash_series,
+        tune_signature,
+    )
+
+    texts = []
+    for i in range(120):
+        base = f"shared boilerplate tokens {i % 7} " * 4
+        texts.append((i, base + f"doc {i} unique tail {i * i}"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    thr = 0.35
+    n_hashes, bands, rpb = tune_signature(thr)
+    a, b = _minhash_params(n_hashes)
+    sigs = np.stack(
+        _minhash_series(
+            pd.Series([t for _, t in texts]), a, b, 8
+        ).to_numpy()
+    )
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            cand = any(
+                (sigs[i, k * rpb : (k + 1) * rpb]
+                 == sigs[j, k * rpb : (k + 1) * rpb]).all()
+                for k in range(bands)
+            )
+            if cand:
+                est = float((sigs[i] == sigs[j]).sum()) / n_hashes
+                if est >= thr:
+                    want[(i, j)] = est
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=thr
+        ).collect()
+    }
+    assert got == want

@@ -498,3 +498,41 @@ def test_semantic_dedup_tau_above_one_keeps_all(spark, semdedup_corpus):
     kept = semantic_dedup(assigned, tau=1.01).count()
     release_caches()
     assert kept == len(ids)
+
+
+def test_lsh_grouped_verify_equals_candidate_mask_twin(spark):
+    """r8 internals: the per-bucket GEMM verify must emit EXACTLY the
+    pairs that share >=1 table bucket AND clear min_cosine, with
+    deterministic 4dp cosines — pinned against an independent
+    candidate-bitmask + unit-vector twin on a random corpus."""
+    rng = np.random.RandomState(77)
+    n, dim, n_bits, n_tables, thr = 300, 16, 3, 8, 0.3
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    planes = np.random.RandomState(42).normal(size=(dim, n_tables * n_bits))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    tag = np.arange(n_tables, dtype=np.int64) << n_bits
+    bits = (mat @ planes > 0).reshape(n, n_tables, n_bits)
+    keys = (bits @ weights) | tag[None, :]
+    keysets = [set(k) for k in keys.tolist()]
+    matd = mat.astype(np.float64)
+    unit = matd / np.maximum(
+        np.sqrt((matd * matd).sum(axis=1)), 1e-12
+    )[:, None]
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if keysets[i] & keysets[j]:
+                c = float(np.einsum("k,k->", unit[i], unit[j]))
+                if c >= thr:
+                    want[(i, j)] = round(c, 4)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in lsh_near_pairs(
+            df, dim=dim, n_bits=n_bits, n_tables=n_tables, min_cosine=thr
+        ).collect()
+    }
+    assert got == want
