@@ -252,7 +252,19 @@ def _verify_pairs_grid(
     Candidate rows may arrive with duplicates (the banded join emits
     one row per colliding band); the cell is a pure function of the
     pair, so duplicates land in the same cell and are dropped there —
-    cheaper than a cluster-wide dropDuplicates over the explosion."""
+    cheaper than a cluster-wide dropDuplicates over the explosion.
+
+    EXACT two-phase (r8b): the grid ships 16-bit TRUNCATED signature
+    values (4× less transport and compare bandwidth). Truncation can
+    only create false position-equalities, so the truncated match
+    count upper-bounds the true one and phase 1's est16 ≥ t filter
+    admits a SUPERSET of the answer (near-threshold junk would need
+    tens of simultaneous 2⁻¹⁶ collisions to sneak in — survivors ≈
+    outputs). Phase 2 recomputes the EXACT est for the tiny survivor
+    set by streaming the cached full signatures past two broadcast
+    joins of the survivors and re-applying the threshold — the final
+    (id_a, id_b, est_jaccard) is bit-identical to a full-width verify.
+    """
     import numpy as np
 
     spark = sigs.sparkSession
@@ -282,7 +294,16 @@ def _verify_pairs_grid(
         sigs.withColumn("__r", r)
         .select(
             id_col,
-            "sig",
+            # low 16 bits, re-centered into smallint range (ANSI-safe:
+            # a plain bigint→smallint cast throws on overflow). The
+            # map v ↦ (v & 0xFFFF) − 32768 is a bijection on the low
+            # 16 bits, so truncated equality ⟺ low-16-bit equality.
+            F.transform(
+                "sig",
+                lambda x: (x.bitwiseAND(F.lit(65535)) - 32768).cast(
+                    "smallint"
+                ),
+            ).alias("sig16"),
             F.explode(F.array_distinct(F.concat(rowcells, colcells))).alias(
                 "cell"
             ),
@@ -291,23 +312,20 @@ def _verify_pairs_grid(
     )
 
     def verify(pairs_pdf: pd.DataFrame, sigs_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": [], "id_b": [], "est_jaccard": pd.Series([], dtype="float64")}
-        )
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
         if not len(pairs_pdf) or not len(sigs_pdf):
             return empty
         pairs_pdf = pairs_pdf.drop_duplicates(subset=["id_a", "id_b"])
-        M = np.stack(sigs_pdf["sig"].to_numpy())
+        M = np.stack(sigs_pdf["sig16"].to_numpy())
         pos = pd.Series(
             np.arange(len(sigs_pdf)), index=sigs_pdf[id_col].to_numpy()
         )
         ia = pos.reindex(pairs_pdf["id_a"].to_numpy()).to_numpy().astype(np.int64)
         ib = pos.reindex(pairs_pdf["id_b"].to_numpy()).to_numpy().astype(np.int64)
         # chunked gather+compare: a flat M[ia] over millions of pairs
-        # materializes pairs×width int64 slabs (~0.7 GB per side per
-        # cell) and 32 concurrent workers thrash the box; 16k-pair
-        # chunks keep the per-worker working set ~50 MB for the same
-        # flop count
+        # materializes pairs×width slabs and 32 concurrent workers
+        # thrash the box; 16k-pair chunks keep the per-worker working
+        # set small for the same flop count
         n_p = len(ia)
         est = np.empty(n_p, dtype=np.float64)
         width = M.shape[1]
@@ -324,17 +342,25 @@ def _verify_pairs_grid(
             {
                 "id_a": pairs_pdf["id_a"].to_numpy()[sel],
                 "id_b": pairs_pdf["id_b"].to_numpy()[sel],
-                "est_jaccard": est[sel],
             }
         )
 
-    return (
+    surv = (
         cells.groupBy("cell")
         .cogroup(rep.groupBy("cell"))
-        .applyInPandas(
-            verify,
-            schema=f"id_a {id_type}, id_b {id_type}, est_jaccard double",
-        )
+        .applyInPandas(verify, schema=f"id_a {id_type}, id_b {id_type}")
+    )
+    # phase 2: exact verify of the survivors. Survivors are broadcast
+    # (output-sized), the cached full signatures stream past both
+    # joins, and the per-pair fold runs at output scale only.
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    attached = sa.join(F.broadcast(surv), "id_a")
+    both = sb.join(F.broadcast(attached), "id_b")
+    return (
+        both.withColumn("est_jaccard", minhash_similarity_col())
+        .where(F.col("est_jaccard") >= thresh)
+        .select("id_a", "id_b", "est_jaccard")
     )
 
 
