@@ -95,6 +95,46 @@ def _usable(encoding: str | None, tried: set) -> bool:
     return True
 
 
+def iter_candidate_encodings(
+    data: bytes,
+    known_definite: tuple[str, ...] = (),
+    user: tuple[str, ...] = (),
+    is_html: bool = True,
+    exclude: tuple[str, ...] = (),
+) -> tuple[bytes, "Iterator[str]"]:
+    """(BOM-stripped bytes, LAZY ordered candidate encodings).
+
+    Same order and dedup as candidate_encodings, but the chardet scan
+    only runs when iteration actually reaches its slot — the
+    reference's EncodingDetector.encodings is a generator with exactly
+    this laziness, so a document whose BOM/declared encoding decodes
+    cleanly never pays the detector (~1.6 ms/page on the crawl path)."""
+    stripped, sniffed = strip_bom(data)
+    # excluded encodings are never tried (detection.py:99-113)
+    tried: set[str] = {e.lower() for e in exclude}
+
+    def gen():
+        for e in known_definite:
+            if _usable(e, tried):
+                yield e.lower()
+        if _usable(sniffed, tried):
+            yield sniffed
+        for e in user:
+            if _usable(e, tried):
+                yield e.lower()
+        declared = find_declared_encoding(stripped, is_html)
+        if _usable(declared, tried):
+            yield declared
+        sniffed_by_lib = chardet_encoding(stripped)
+        if _usable(sniffed_by_lib, tried):
+            yield sniffed_by_lib.lower()
+        for e in ("utf-8", "windows-1252"):
+            if _usable(e, tried):
+                yield e
+
+    return stripped, gen()
+
+
 def candidate_encodings(
     data: bytes,
     known_definite: tuple[str, ...] = (),
@@ -103,28 +143,10 @@ def candidate_encodings(
     exclude: tuple[str, ...] = (),
 ) -> tuple[bytes, list[str]]:
     """(BOM-stripped bytes, ordered candidate encodings)."""
-    stripped, sniffed = strip_bom(data)
-    # excluded encodings are never tried (detection.py:99-113)
-    tried: set[str] = {e.lower() for e in exclude}
-    order: list[str] = []
-    for e in known_definite:
-        if _usable(e, tried):
-            order.append(e.lower())
-    if _usable(sniffed, tried):
-        order.append(sniffed)
-    for e in user:
-        if _usable(e, tried):
-            order.append(e.lower())
-    declared = find_declared_encoding(stripped, is_html)
-    if _usable(declared, tried):
-        order.append(declared)
-    sniffed_by_lib = chardet_encoding(stripped)
-    if _usable(sniffed_by_lib, tried):
-        order.append(sniffed_by_lib.lower())
-    for e in ("utf-8", "windows-1252"):
-        if _usable(e, tried):
-            order.append(e)
-    return stripped, order
+    stripped, cand = iter_candidate_encodings(
+        data, known_definite, user, is_html, exclude
+    )
+    return stripped, list(cand)
 
 
 # smart_quotes_to support (detection.py:241,335-371) ---------------------------
@@ -234,7 +256,7 @@ def decode_html(
     """bytes → (text, chosen encoding, had_replacement_characters)."""
     if isinstance(data, str):
         return data, None, False
-    stripped, order = candidate_encodings(
+    stripped, cand = iter_candidate_encodings(
         data, known_definite, user, is_html, exclude
     )
 
@@ -243,7 +265,12 @@ def decode_html(
             return sub_smart_quotes(stripped, smart_quotes_to)
         return stripped
 
-    for enc in order:
+    # the strict pass materializes `order` as it drains the lazy
+    # iterator: a success returns before chardet's slot is reached,
+    # and a fall-through leaves the complete list for the replace pass
+    order: list[str] = []
+    for enc in cand:
+        order.append(enc)
         try:
             text = prepared(enc).decode(enc)
         except (UnicodeDecodeError, ValueError):

@@ -27,6 +27,7 @@ import re
 import struct
 import zlib
 from dataclasses import dataclass
+from functools import lru_cache
 
 from bisque_spark.hashing import MASK64, xxh64, xxhash64_bytes, xxhash64_str
 
@@ -407,12 +408,21 @@ def _zipf_host(world: World, u: float) -> int:
     return min(world.n_hosts - 1, int(world.n_hosts * (u**world.zipf_power)))
 
 
+@lru_cache(maxsize=8)
+def _world_hosts(world: World) -> frozenset:
+    """Memoized host set per (hashable, frozen) World — page_status
+    used to rebuild all n_hosts f-strings on EVERY call, O(n_hosts)
+    per fetched URL (r8 profile: 38% of the fused fetch+extract
+    stage's python time at the bench world's 1500 hosts)."""
+    return frozenset(world.host(i) for i in range(world.n_hosts))
+
+
 def page_status(world: World, url: str) -> int:
     idx = page_index(url)
     if idx is None:
         return 404
     host, page_no = idx
-    hidx_ok = host in {world.host(i) for i in range(world.n_hosts)}
+    hidx_ok = host in _world_hosts(world)
     if not hidx_ok:
         return 404
     real_no = page_no if page_no < 10_000 else page_no - 10_000
