@@ -135,3 +135,34 @@ def test_smart_quotes_to_modes_match_reference():
     ref = UnicodeDammit(utf, known_definite_encodings=["utf-8"], smart_quotes_to="html")
     text, _, _ = decode_html(utf, known_definite=("utf-8",), smart_quotes_to="html")
     assert text == ref.unicode_markup == "plain é text"
+
+
+def test_decode_html_lazy_chardet(monkeypatch):
+    """r8: candidate encodings are LAZY — a successful declared/BOM
+    decode never consults the chardet detector (reference parity:
+    EncodingDetector.encodings is a generator with the same laziness),
+    while an undeclared non-utf8 document still reaches its slot with
+    unchanged precedence."""
+    from bisque_spark.functions import encoding as enc
+
+    calls = []
+
+    def fake_detect(data):
+        calls.append(1)
+        return "utf-8"
+
+    monkeypatch.setattr(enc, "chardet_encoding", fake_detect)
+    # declared charset decodes → detector must not run
+    text, e, _ = enc.decode_html('<meta charset="utf-8">ok é'.encode("utf-8"))
+    assert text == '<meta charset="utf-8">ok é' and e == "utf-8"
+    assert not calls
+    # BOM decodes → detector must not run
+    text, e, _ = enc.decode_html(b"\xef\xbb\xbfbom ok")
+    assert text == "bom ok" and e == "utf-8"
+    assert not calls
+    # undeclared cp1252 bytes: detector slot IS reached (fake says
+    # utf-8, which fails, and the tried-set dedup still skips the
+    # later utf-8 fallback exactly as the eager order did)
+    text, e, _ = enc.decode_html("héllo “q”".encode("windows-1252"))
+    assert calls == [1]
+    assert text == "héllo “q”" and e == "windows-1252"

@@ -366,3 +366,16 @@ def test_adaptive_refresh_matches_python_twin(spark):
     assert statistics.mean(by_period[1]) > statistics.mean(by_period[8])
     hints = {h for _, h, _ in state.values()}
     assert 3 in hints and 0 in hints
+
+
+def test_world_hosts_memo_matches_loop():
+    """r8: page_status's host-membership set is memoized per World —
+    same contents as the per-call set comprehension it replaced, and
+    status decisions are unchanged on member/non-member hosts."""
+    from bisque_spark.synth import World, _world_hosts, page_status
+
+    world = World(n_hosts=23, pages_per_host=9)
+    assert _world_hosts(world) == {world.host(i) for i in range(world.n_hosts)}
+    assert _world_hosts(world) is _world_hosts(World(n_hosts=23, pages_per_host=9))
+    assert page_status(world, f"http://{world.host(3)}/p0.html") == 200
+    assert page_status(world, "http://h9999.example3.test/p0.html") == 404
